@@ -1,0 +1,168 @@
+"""Deterministic synthetic `pages` + `lookup` tables (FIXTURES.md F1/F2).
+
+Everything is a pure function of the row id — no RNG state — so the tables
+are reproducible at any scale, partition-independent, and mirrored row-for-
+row by the pure-Python oracle in ``oracle.py`` (the pdata-oracle analog,
+SURVEY.md §5). Generation is pure Spark column expressions over
+``spark.range(n)``: it distributes, costs no Python, and scales to bench
+sizes (millions of rows) without driver involvement.
+
+The embedded markers reproduce the reference's resolution-semantics surface
+(SURVEY.md §1.4):
+
+- ``severity=<n>;``      repeated on some rows → LAST wins
+  (extractLastBytesField, reference wire.go:296-321; absent → 0,
+  logs.go:116).
+- ``severity_text=<s>;`` absent vs present-but-empty distinguished
+  (logs.go:121-132 nil-vs-"" semantics → NULL vs '').
+- ``kv:<k>=<v>;``        repeated attrs, duplicate keys preserved in wire
+  order on enumeration (resource_test.go:287-333); first-value-wins on
+  lookup (attributes.go:336-404).
+- ``<rec>…</rec>``       1–10 sub-records per page → exact record-count
+  target (logs.go:12-14 LogRecordCount analog).
+- invalid UTF-8 rows (~1%) → per-row ``parse_error`` quarantine (the
+  batch-abort at reference wire.go:40-42 becomes per-row at 10^12 scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANG_POOL = ["en", "en", "en", "en", "de", "fr", "es", "pt", "ja", "unknown"]
+LANG_DISTINCT = ["en", "de", "fr", "es", "pt", "ja", "unknown"]
+NUM_HOSTS = 99  # host0, host1 hot; host2..host98 tail
+NUM_SHARDS_DEFAULT = 8
+BASE_TS = "2026-01-01 00:00:00"
+MALFORMED_HEX = "FFFE3C62726F6B656E"  # b"\xff\xfe<broken" — invalid UTF-8
+
+WORDS = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "iota", "kappa", "lam", "mu", "nu", "xi", "omicron", "pi",
+]
+
+
+def _id() -> Column:
+    return F.col("id")
+
+
+def host_idx_col(idc: Column) -> Column:
+    # Zipf-ish skew: host0 gets 40% of pages, host1 20%, tail split the rest.
+    m = idc % 10
+    return (
+        F.when(m < 4, F.lit(0))
+        .when(m < 6, F.lit(1))
+        .otherwise((idc % (NUM_HOSTS - 2)) + 2)
+    ).cast("int")
+
+
+def text_col(idc: Column) -> Column:
+    """Deterministic word soup; NULL on id%199==0, '' on id%211==0."""
+    n_words = (idc % 12) + 1
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda k: F.element_at(
+            F.array(*[F.lit(w) for w in WORDS]), ((idc + k) % 16 + 1).cast("int")
+        ),
+    )
+    joined = F.array_join(words, " ")
+    return (
+        F.when(idc % 199 == 0, F.lit(None).cast("string"))
+        .when(idc % 211 == 0, F.lit(""))
+        .otherwise(joined)
+    )
+
+
+def _html_str(idc: Column) -> Column:
+    sev1 = (idc * 7) % 25
+    sev2 = (idc * 13) % 25
+    sev_marker = F.when(idc % 11 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.concat(F.lit("severity="), sev1.cast("string"), F.lit(";")),
+            F.when(
+                idc % 5 == 0,
+                F.concat(F.lit("severity="), sev2.cast("string"), F.lit(";")),
+            ).otherwise(F.lit("")),
+        )
+    )
+    sevtext_marker = (
+        F.when(idc % 13 == 0, F.lit(""))  # absent
+        .when(idc % 17 == 0, F.lit("severity_text=;"))  # present-but-empty
+        .otherwise(
+            F.concat(F.lit("severity_text=T"), ((idc * 3) % 25).cast("string"), F.lit(";"))
+        )
+    )
+    kv_marker = F.concat(
+        F.concat(F.lit("kv:k1=v"), (idc % 7).cast("string"), F.lit(";")),
+        F.when(idc % 3 == 0, F.lit("kv:k1=dup;")).otherwise(F.lit("")),
+        F.concat(F.lit("kv:k2=w"), (idc % 5).cast("string"), F.lit(";")),
+    )
+    nrec = (idc % 10) + 1
+    recs = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nrec - 1),
+            lambda j: F.concat(F.lit("<rec>r"), j.cast("string"), F.lit("</rec>")),
+        ),
+        "",
+    )
+    txt = text_col(idc)
+    text_block = F.when(txt.isNull(), F.lit("")).otherwise(
+        F.concat(F.lit("<p>"), txt, F.lit("</p>"))
+    )
+    return F.concat(
+        F.lit("<html><body>"),
+        sev_marker,
+        sevtext_marker,
+        kv_marker,
+        recs,
+        text_block,
+        F.lit("</body></html>"),
+    )
+
+
+def generate_pages(spark: SparkSession, n: int, num_partitions: int | None = None) -> DataFrame:
+    """`pages(url, warc_ts, html:binary, text, lang)` — BASELINE input_hint shape."""
+    idc = _id()
+    df = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    host_idx = host_idx_col(idc)
+    host = F.concat(F.lit("host"), host_idx.cast("string"), F.lit(".example.com"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p"), idc.cast("string"))
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in LANG_POOL]), (idc % 10 + 1).cast("int")
+    )
+    warc_ts = F.timestamp_seconds(
+        F.unix_timestamp(F.lit(BASE_TS).cast("timestamp")) + idc
+    )
+    html = F.when(idc % 101 == 0, F.unhex(F.lit(MALFORMED_HEX))).otherwise(
+        F.encode(_html_str(idc), "UTF-8")
+    )
+    return df.select(
+        idc.alias("page_id"),
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        html.alias("html"),
+        text_col(idc).alias("text"),
+        lang.alias("lang"),
+    )
+
+
+def generate_lookup(spark: SparkSession) -> DataFrame:
+    """`lookup(lang, url_host, site_category, context)` — broadcast dim (F2).
+
+    Context reproduces the present / present-empty / absent trichotomy of
+    the reference's context attributes (benchmark_comparison_test.go:520-563
+    fixture): some (lang, host) pairs have NO row (left join → NULL ≙
+    absent), some have context='' (present-but-empty), the rest a value.
+    """
+    rows = []
+    for li, lang in enumerate(LANG_DISTINCT):
+        for hi in range(NUM_HOSTS):
+            if (hi + li) % 7 == 0:
+                continue  # absent row
+            ctx = "" if (hi + li) % 5 == 0 else f"ctx-{lang}-{hi}"
+            rows.append(
+                (lang, f"host{hi}.example.com", f"cat{(hi * 31 + li) % 13}", ctx)
+            )
+    return spark.createDataFrame(
+        rows, "lang string, url_host string, site_category string, context string"
+    )

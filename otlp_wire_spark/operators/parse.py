@@ -1,0 +1,169 @@
+"""Parse stage — ONE vectorized walk per page, many output columns.
+
+Reproduces the reference's extension rule: every accessor reads out of a
+single shared walk so two outputs can never disagree on validity
+(reference docs/DESIGN.md:139-158,198-210; SeverityText rides
+parseLogRecordSeverity's walk, logs.go:121-132). Here that rule is enforced
+by construction: one Arrow-batched pandas UDF returns a struct of ALL
+extracted columns + ``parse_error``, and downstream stages only ever select
+struct fields (Catalyst nested-schema pruning drops the rest at the scan).
+
+Resolution semantics (SURVEY.md §1.4):
+- ``severity``       — LAST occurrence wins (extractLastBytesField,
+                       wire.go:296-321), 0 when absent (logs.go:116).
+- ``severity_text``  — last-wins; NULL=absent vs ''=present-but-empty
+                       (logs.go:121-132).
+- ``attrs``          — every occurrence, wire order, duplicate keys
+                       preserved (forEachRepeatedField, wire.go:106-149).
+- ``extracted_text`` — FIRST match (extractBytesField, wire.go:262-294).
+- ``parse_error``    — per-row quarantine column; the reference aborts the
+                       batch at the first malformed field (wire.go:40-42),
+                       which at 10^12 rows becomes per-row fail-fast +
+                       exact quarantine counts (SURVEY.md §7).
+
+Everything is Arrow-batched (`ArrowEvalPython` in the physical plan, never
+`BatchEvalPython`); the regex loops run in C inside pandas over whole
+batches — no per-row Python UDFs (BASELINE input_hint mandate).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SEV_RE = re.compile(r"severity=(\d+);")
+_SEVTEXT_RE = re.compile(r"severity_text=([^;]*);")
+_KV_RE = re.compile(r"kv:([^=;]*)=([^;]*);")
+_REC_RE = re.compile(r"<rec>.*?</rec>")
+_TEXT_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+
+PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("severity", T.IntegerType()),
+        T.StructField("severity_text", T.StringType()),
+        T.StructField(
+            "attrs",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("record_count", T.IntegerType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("parse_error", T.StringType()),
+    ]
+)
+
+
+def _decode_batch(s: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """Decode a Series of bytes → (str Series, error Series).
+
+    Fast path decodes the whole Arrow batch in one shot; only a batch that
+    actually contains malformed rows pays a per-element retry.
+    """
+    err = pd.Series([None] * len(s), index=s.index, dtype=object)
+    null_mask = s.isna()
+    err[null_mask] = "null_payload"
+    try:
+        dec = s.str.decode("utf-8")
+        return dec, err
+    except (UnicodeDecodeError, AttributeError):
+        pass
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            out.append(bytes(v).decode("utf-8"))
+        except UnicodeDecodeError:
+            out.append(None)
+    dec = pd.Series(out, index=s.index, dtype=object)
+    err[dec.isna() & ~null_mask] = "utf8_decode_error"
+    return dec, err
+
+
+def _extract_frame(html: pd.Series) -> pd.DataFrame:
+    dec, err = _decode_batch(html)
+    ok = dec.fillna("")  # errored rows extract over '' then get nulled below
+
+    sev_lists = ok.str.findall(_SEV_RE)
+    severity = sev_lists.map(lambda xs: int(xs[-1]) if xs else 0)
+
+    text_lists = ok.str.findall(_SEVTEXT_RE)
+    severity_text = text_lists.map(lambda xs: xs[-1] if xs else None)
+
+    kv_lists = ok.str.findall(_KV_RE)
+    attrs = kv_lists.map(lambda xs: [{"key": k, "value": v} for k, v in xs])
+
+    # findall+len (not str.count) so unclosed <rec> blocks don't count —
+    # exact parity with the oracle regex on adversarial inputs.
+    record_count = ok.str.findall(_REC_RE).map(len)
+    first_p = ok.str.extract(_TEXT_RE, expand=False)
+
+    bad = err.notna()
+    severity = severity.mask(bad, None)
+    severity_text = severity_text.mask(bad, None)
+    attrs = attrs.mask(bad, None)
+    record_count = record_count.mask(bad, None)
+    first_p = first_p.mask(bad, None)
+
+    return pd.DataFrame(
+        {
+            "severity": severity.astype(object),
+            "severity_text": severity_text.astype(object),
+            "attrs": attrs,
+            "record_count": record_count.astype(object),
+            "extracted_text": first_p.astype(object),
+            "parse_error": err,
+        }
+    )
+
+
+@F.pandas_udf(PARSED_SCHEMA)
+def parse_page_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    for html in it:
+        yield _extract_frame(html)
+
+
+def parse_pages(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Attach the parsed struct. Select only `parsed.<field>` downstream —
+    nested-schema pruning keeps unneeded fields out of the Arrow transfer."""
+    return df.withColumn("parsed", parse_page_udf(F.col(html_col)))
+
+
+def attr_first_value(attrs_col: Column, key: str) -> Column:
+    """FIRST value for a duplicate key — pdata-map lookup semantics
+    (reference attributes.go:336-404). Position-keyed, never row-order-keyed
+    (SURVEY.md §2.5): `filter` preserves array (wire) order, element 1 is
+    the first occurrence. try_element_at → NULL when absent (the found-flag
+    of attributes.go:64-74)."""
+    return F.try_element_at(
+        F.filter(attrs_col, lambda kv: kv["key"] == key), F.lit(1)
+    )["value"]
+
+
+def attr_last_value(attrs_col: Column, key: str) -> Column:
+    """LAST value — extractLastBytesField semantics (wire.go:296-321)."""
+    return F.try_element_at(
+        F.filter(attrs_col, lambda kv: kv["key"] == key), F.lit(-1)
+    )["value"]
+
+
+def attrs_merged(attrs_col: Column) -> Column:
+    """All occurrences concatenated in wire order — the merge semantics of
+    singular messages (extractMergedMessage, wire.go:171-260): duplicates
+    preserved on enumeration (resource_test.go:287-333)."""
+    return F.array_join(
+        F.transform(attrs_col, lambda kv: F.concat_ws("=", kv["key"], kv["value"])),
+        ";",
+    )

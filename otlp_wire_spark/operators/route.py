@@ -1,0 +1,111 @@
+"""Route stage — deterministic FNV-64a fan-out to per-shard sinks.
+
+Re-expresses the reference's shard/split path (README.md:58-73,
+example_test.go:32-65): extract the routing key, ``FNV-64a(key) % N``,
+hand each group to its worker. In Spark the worker boundary IS the shuffle:
+``repartition(num_shards, 'shard')`` then a partitionBy('shard') sink write,
+so each sink file set is one shard — the ``WriteTo`` re-wrap analog
+(wire.go:356-370) with bytes preserved verbatim in the payload column.
+
+Scale notes (100 TB):
+- routed bytes never pass through the driver; the only wide exchange is the
+  single hash repartition on the tiny int shard key.
+- per-shard skew: FNV over high-cardinality URL keys distributes ~uniformly;
+  hot HOSTS do not skew shards because the route key is the full URL (one
+  page = one "resource"). Host-level aggregations use salting — see
+  ``salted_host_stats``.
+- sink format is pluggable ("iceberg" on a real cluster → atomic snapshot
+  commits give exactly-once under task retries; "parquet" in this sandbox —
+  Spark's output committer gives the same job-level atomicity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from otlp_wire_spark.functions.fnv import shard_col
+
+
+def with_shard(
+    df: DataFrame, route_key_col: str = "url", num_shards: int = 8
+) -> DataFrame:
+    """shard = FNV-64a(route_key bytes) % N, uint64-space modulo
+    (example_test.go:46-48; bit-exactness pinned by tests/test_fnv.py)."""
+    key = F.col(route_key_col)
+    key_bytes = key if dict(df.dtypes).get(route_key_col) == "binary" else F.encode(
+        key, "UTF-8"
+    )
+    return df.withColumn("shard", shard_col(key_bytes, num_shards))
+
+
+def route(
+    df: DataFrame,
+    route_key_col: str = "url",
+    num_shards: int = 8,
+) -> DataFrame:
+    """Assign shards and co-locate each shard's rows (the explicit
+    repartition-by-shard-key the north_rule mandates)."""
+    return with_shard(df, route_key_col, num_shards).repartition(
+        num_shards, F.col("shard")
+    )
+
+
+def write_sharded(
+    routed: DataFrame,
+    out_path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Per-shard sink: one directory (≙ sink table) per shard."""
+    (
+        routed.write.format(fmt)
+        .mode(mode)
+        .partitionBy("shard")
+        .save(out_path)
+    )
+
+
+def shard_manifest(routed: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Per-sink exact counters — (page_count, record_count, byte_count) per
+    shard, mirroring the reference's count-conservation invariant
+    (otlpwire_test.go:188-222): Σ per-shard == batch totals, checked by
+    tests/test_pipeline.py. Map-side partial aggregation makes the shuffle
+    carry ≤ num_shards rows per task."""
+    return (
+        routed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("page_count"),
+            F.sum(F.col("parsed.record_count")).cast("long").alias("record_count"),
+            F.sum(F.length(F.col(payload_col))).cast("long").alias("byte_count"),
+        )
+        .orderBy("shard")
+    )
+
+
+def salted_host_stats(
+    df: DataFrame, host_col: str = "url_host", salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase salted aggregation for the Zipf-skewed host key
+    (north_rule: 'salted keys for skewed hosts').
+
+    Phase 1 groups by (host, salt) — hot hosts split across
+    ``salt_buckets`` reducers — phase 2 re-aggregates the tiny partials.
+    The salt is a deterministic spray (pmod of a hash of the row's url), not
+    a random number, so retries are idempotent.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(host_col, "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.length(F.col("html"))).alias("_b"),
+    )
+    return (
+        partial.groupBy(host_col)
+        .agg(
+            F.sum("_n").cast("long").alias("page_count"),
+            F.sum("_b").cast("long").alias("byte_count"),
+        )
+        .orderBy(F.desc("page_count"), F.col(host_col))
+    )

@@ -1,0 +1,167 @@
+"""End-to-end pipeline: parse → enrich → route → aggregate, resumable.
+
+The flagship workload (reference benchmark_comparison_test.go:352-434
+re-expressed): severity-band histogram + context stats + deterministic
+FNV fan-out to per-shard sinks with exact per-sink counters.
+
+Resumability (north_rule): every stage that persists commits its output
+under ``<run_dir>/<stage>/`` together with a ``_MANIFEST.json`` carrying
+the input fingerprint, row counts, and per-shard counters. Re-running the
+pipeline with the same run_dir + fingerprint skips completed stages
+(idempotent; Spark's output committer makes each stage write atomic at job
+granularity, Iceberg snapshots would make it atomic at table granularity on
+a real cluster). Counters are written WITH the data they describe, so a
+resumed run can never observe data without its manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from otlp_wire_spark.operators.classify import band_histogram, context_stats
+from otlp_wire_spark.operators.counting import quarantine_split
+from otlp_wire_spark.operators.enrich import enrich, with_url_host
+from otlp_wire_spark.operators.parse import parse_pages
+from otlp_wire_spark.operators.route import route, shard_manifest, write_sharded
+
+MANIFEST = "_MANIFEST.json"
+
+
+@dataclass
+class PipelineResult:
+    run_dir: str
+    band_counts: list[int]
+    context_count: int
+    context_bytes: int
+    per_shard: dict[int, dict[str, int]]
+    quarantined: int
+    total_pages: int
+    stages_skipped: list[str] = field(default_factory=list)
+    elapsed_sec: float = 0.0
+
+
+def _stage_dir(run_dir: str, stage: str) -> str:
+    return os.path.join(run_dir, stage)
+
+
+def _manifest_path(run_dir: str, stage: str) -> str:
+    return os.path.join(_stage_dir(run_dir, stage), MANIFEST)
+
+
+def _stage_complete(run_dir: str, stage: str, fingerprint: str) -> bool:
+    p = _manifest_path(run_dir, stage)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            m = json.load(f)
+        return m.get("fingerprint") == fingerprint and m.get("status") == "complete"
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def _write_manifest(run_dir: str, stage: str, fingerprint: str, **extra) -> None:
+    os.makedirs(_stage_dir(run_dir, stage), exist_ok=True)
+    payload = {"stage": stage, "fingerprint": fingerprint, "status": "complete",
+               "written_at": time.time(), **extra}
+    tmp = _manifest_path(run_dir, stage) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True)
+    os.replace(tmp, _manifest_path(run_dir, stage))  # atomic commit
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    lookup: DataFrame,
+    run_dir: str,
+    num_shards: int = 8,
+    fingerprint: str = "default",
+    sink_format: str = "parquet",
+) -> PipelineResult:
+    """Run (or resume) the full pipeline; returns exact golden aggregates."""
+    t0 = time.time()
+    skipped: list[str] = []
+    os.makedirs(run_dir, exist_ok=True)
+
+    # ---- stage: parse (+ quarantine) -------------------------------------
+    parsed_dir = _stage_dir(run_dir, "parsed")
+    if _stage_complete(run_dir, "parsed", fingerprint):
+        skipped.append("parsed")
+        clean = spark.read.parquet(os.path.join(parsed_dir, "clean"))
+        quarantined_n = json.load(open(_manifest_path(run_dir, "parsed")))["quarantined"]
+    else:
+        parsed = parse_pages(pages)
+        clean, quarantined = quarantine_split(parsed)
+        quarantined.write.mode("overwrite").parquet(
+            os.path.join(parsed_dir, "quarantine")
+        )
+        clean.write.mode("overwrite").parquet(os.path.join(parsed_dir, "clean"))
+        clean = spark.read.parquet(os.path.join(parsed_dir, "clean"))
+        quarantined_n = spark.read.parquet(
+            os.path.join(parsed_dir, "quarantine")
+        ).count()
+        _write_manifest(run_dir, "parsed", fingerprint, quarantined=quarantined_n,
+                        clean=clean.count())
+
+    # ---- stage: enrich + route + sinks -----------------------------------
+    enriched = enrich(with_url_host(clean), lookup)
+    routed = route(enriched, route_key_col="url", num_shards=num_shards)
+
+    routed_dir = _stage_dir(run_dir, "routed")
+    if _stage_complete(run_dir, "routed", fingerprint):
+        skipped.append("routed")
+        shard_rows = json.load(open(_manifest_path(run_dir, "routed")))["per_shard"]
+        per_shard = {int(k): v for k, v in shard_rows.items()}
+    else:
+        write_sharded(
+            routed.drop("attrs"), os.path.join(routed_dir, "data"), fmt=sink_format
+        )
+        manifest_df = shard_manifest(routed)
+        rows = manifest_df.collect()
+        per_shard = {
+            int(r["shard"]): {
+                "page_count": int(r["page_count"]),
+                "record_count": int(r["record_count"]),
+                "byte_count": int(r["byte_count"]),
+            }
+            for r in rows
+        }
+        _write_manifest(
+            run_dir, "routed", fingerprint,
+            per_shard={str(k): v for k, v in per_shard.items()},
+        )
+
+    # ---- stage: aggregate (band histogram + context stats) ---------------
+    bands = band_histogram(routed, severity_col="parsed.severity").collect()
+    band_counts = [0] * 6
+    for r in bands:
+        band_counts[int(r["band"])] = int(r["n"])
+    ctx = context_stats(routed).collect()[0]
+
+    total_pages = sum(v["page_count"] for v in per_shard.values()) + quarantined_n
+    result = PipelineResult(
+        run_dir=run_dir,
+        band_counts=band_counts,
+        context_count=int(ctx["context_count"]),
+        context_bytes=int(ctx["context_bytes"]),
+        per_shard=per_shard,
+        quarantined=quarantined_n,
+        total_pages=total_pages,
+        stages_skipped=skipped,
+        elapsed_sec=time.time() - t0,
+    )
+    _write_manifest(
+        run_dir, "aggregate", fingerprint,
+        band_counts=band_counts,
+        context_count=result.context_count,
+        context_bytes=result.context_bytes,
+        total_pages=total_pages,
+    )
+    return result

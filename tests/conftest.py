@@ -1,0 +1,13 @@
+from __future__ import annotations
+
+import pytest
+
+from otlp_wire_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="otlp-wire-spark-tests", master="local[4]",
+                  shuffle_partitions=8)
+    yield s
+    s.stop()

@@ -1,0 +1,70 @@
+"""FNV-64a bit-exactness — shard parity with the reference's
+``hash/fnv`` + ``% numWorkers`` (example_test.go:44-58)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from otlp_wire_spark.functions.fnv import (
+    FNV64_OFFSET_BASIS,
+    fnv64a,
+    fnv64a_numpy,
+    fnv64a_col,
+    shard_col,
+)
+
+# Published FNV-1a 64 test vectors (IETF draft-eastlake-fnv, public domain).
+KNOWN = [
+    (b"", 0xCBF29CE484222325),
+    (b"a", 0xAF63DC4C8601EC8C),
+    (b"foobar", 0x85944171F73967E8),
+]
+
+
+def test_known_vectors_pure():
+    for data, want in KNOWN:
+        assert fnv64a(data) == want
+
+
+def test_numpy_matches_pure_on_random_bytes():
+    rng = random.Random(7)
+    vals = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120)))
+            for _ in range(1000)]
+    vals += [d for d, _ in KNOWN]
+    got = fnv64a_numpy(vals)
+    want = np.array([fnv64a(v) for v in vals], dtype=np.uint64)
+    assert (got == want).all()
+
+
+def test_numpy_empty_batch():
+    assert fnv64a_numpy([]).shape == (0,)
+
+
+def test_numpy_none_is_empty_bytes():
+    assert fnv64a_numpy([None])[0] == np.uint64(FNV64_OFFSET_BASIS)
+
+
+@pytest.mark.usefixtures("spark")
+def test_udf_matches_pure_and_shards_in_uint64_space(spark):
+    rng = random.Random(11)
+    urls = [f"https://host{rng.randrange(99)}.example.com/p{i}" for i in range(500)]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    from pyspark.sql import functions as F
+
+    out = (
+        df.withColumn("h", fnv64a_col(F.encode("url", "UTF-8")))
+        .withColumn("shard", shard_col(F.encode("url", "UTF-8"), 8))
+        .collect()
+    )
+    for row in out:
+        want = fnv64a(row["url"].encode())
+        assert row["h"] == np.uint64(want).astype(np.int64)
+        # modulo must be computed on the UNSIGNED hash
+        assert row["shard"] == want % 8
+    # at least one hash has the sign bit set, proving the uint64-vs-int64
+    # distinction is actually exercised
+    assert any(r["h"] < 0 for r in out)

@@ -1,0 +1,132 @@
+"""Parse-stage differential tests vs the pure-Python oracle — the pdata-
+parity analog (reference AGENTS.md:127-144, log_iteration_test.go:106).
+
+Pins: byte-identical extracted text per url (BASELINE input_hint), last-
+value-wins severity (wire.go:296-321), NULL-vs-'' severity_text
+(logs.go:121-132), duplicate-key attrs in wire order with first-wins lookup
+(attributes.go:336-404, resource_test.go:287-333), per-row parse_error
+quarantine, and the no-per-row-Python plan gate (ArrowEvalPython only).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from otlp_wire_spark.fixtures import oracle
+from otlp_wire_spark.fixtures.pages import generate_pages
+from otlp_wire_spark.operators.parse import (
+    attr_first_value,
+    attr_last_value,
+    attrs_merged,
+    parse_pages,
+)
+
+N = 1200  # covers every modulus class used by the generator
+
+
+@pytest.fixture(scope="module")
+def parsed_rows(spark):
+    df = parse_pages(generate_pages(spark, N))
+    rows = df.select(
+        "page_id", "url", "html", "text",
+        "parsed.severity", "parsed.severity_text", "parsed.attrs",
+        "parsed.record_count", "parsed.extracted_text", "parsed.parse_error",
+    ).collect()
+    return {r["page_id"]: r for r in rows}
+
+
+def test_generator_matches_oracle_bytes(parsed_rows):
+    """The Spark expression generator and the pure-Python mirror agree
+    byte-for-byte on html/url/text for every row."""
+    for i in range(N):
+        r = parsed_rows[i]
+        assert r["url"] == oracle.url(i), i
+        assert bytes(r["html"]) == oracle.html(i), i
+        assert r["text"] == oracle.text(i), i
+
+
+def test_extraction_matches_oracle(parsed_rows):
+    for i in range(N):
+        r = parsed_rows[i]
+        e = oracle.extract(oracle.html(i))
+        if e.parse_error is not None:
+            assert r["parse_error"] == e.parse_error, i
+            assert r["severity"] is None and r["attrs"] is None, i
+            continue
+        assert r["parse_error"] is None, i
+        assert r["severity"] == e.severity, i
+        assert r["severity_text"] == e.severity_text, i  # None vs '' preserved
+        assert [(a["key"], a["value"]) for a in r["attrs"]] == e.attrs, i
+        assert r["record_count"] == e.record_count, i
+        assert r["extracted_text"] == e.extracted_text, i
+
+
+def test_extracted_text_byte_identical_per_url(parsed_rows):
+    """input_hint invariant: byte-identical extracted text per url."""
+    checked = 0
+    for i in range(N):
+        r = parsed_rows[i]
+        if r["parse_error"] is not None or r["text"] is None:
+            continue
+        assert r["extracted_text"].encode("utf-8") == r["text"].encode("utf-8"), i
+        checked += 1
+    assert checked > N // 2
+
+
+def test_absent_vs_empty_distinguished(parsed_rows):
+    saw_null = saw_empty = False
+    for i in range(N):
+        r = parsed_rows[i]
+        if r["parse_error"] is not None:
+            continue
+        if i % 13 == 0:
+            assert r["severity_text"] is None, i  # absent
+            saw_null = True
+        elif i % 17 == 0:
+            assert r["severity_text"] == "", i  # present-but-empty
+            saw_empty = True
+    assert saw_null and saw_empty
+
+
+def test_last_value_wins_severity(parsed_rows):
+    hit = False
+    for i in range(N):
+        if i % 11 == 0 or i % 5 != 0 or i % 101 == 0:
+            continue
+        assert parsed_rows[i]["severity"] == (i * 13) % 25, i  # second marker
+        hit = True
+    assert hit
+
+
+def test_attr_resolution_semantics(spark):
+    """first-wins lookup / last-wins / merged enumeration, position-keyed."""
+    df = parse_pages(generate_pages(spark, 300)).filter(
+        F.col("parsed.parse_error").isNull()
+    )
+    rows = df.select(
+        "page_id",
+        attr_first_value(F.col("parsed.attrs"), "k1").alias("first_k1"),
+        attr_last_value(F.col("parsed.attrs"), "k1").alias("last_k1"),
+        attr_first_value(F.col("parsed.attrs"), "missing").alias("absent"),
+        attrs_merged(F.col("parsed.attrs")).alias("merged"),
+    ).collect()
+    for r in rows:
+        i = r["page_id"]
+        e = oracle.extract(oracle.html(i))
+        assert r["first_k1"] == oracle.attr_lookup(e.attrs, "k1"), i
+        want_last = [v for k, v in e.attrs if k == "k1"][-1]
+        assert r["last_k1"] == want_last, i
+        assert r["absent"] is None, i
+        assert r["merged"] == ";".join(f"{k}={v}" for k, v in e.attrs), i
+        if i % 3 == 0:
+            assert r["first_k1"] == f"v{i % 7}" and r["last_k1"] == "dup", i
+
+
+def test_plan_is_arrow_only(spark):
+    """Allocation-gate analog (SURVEY.md §5): the physical plan must use
+    ArrowEvalPython (vectorized), never BatchEvalPython (per-row)."""
+    df = parse_pages(generate_pages(spark, 10)).select("parsed.severity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan

@@ -1,0 +1,497 @@
+"""Driver-contract queries: each SURVEY.md §2 operator as a (Spark, DuckDB
+oracle SQL) pair over the driver tables at a given sf_dir.
+
+Every Spark callable takes (spark, sf_dir) and returns a DataFrame whose
+column names match the oracle SQL exactly (the driver sorts columns by name
+before value-hashing). Aggregate/computed columns are aliased identically on
+both sides; floats are rounded and cast to double on both sides.
+
+The `wire_*` queries put the REAL pipeline primitives under the oracle:
+``wire_band_histogram`` runs the actual Arrow parse UDF over html built
+from `documents`, and ``wire_shard_counts`` runs the actual FNV-64a shard
+UDF — the DuckDB side recomputes severity arithmetically and FNV-64a in
+pure SQL (HUGEINT arithmetic), so bit-exactness is checked by an
+independent engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from otlp_wire_spark.functions.fnv import shard_col, fnv64a_col
+from otlp_wire_spark.operators.classify import severity_band_col
+from otlp_wire_spark.operators.parse import parse_page_udf
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Pure-SQL FNV-64a over an ASCII string (DuckDB HUGEINT arithmetic).
+# Verified against the published FNV-1a 64 test vectors; mirrors
+# functions/fnv.py which mirrors the reference's hash/fnv usage
+# (example_test.go:44-58).
+FNV_SQL = (
+    "list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+    "list_transform(range(1, length({col})+1), i -> unicode({col}[i])::HUGEINT)), "
+    "(h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211) "
+    "% 18446744073709551616::HUGEINT)"
+)
+
+
+# --------------------------------------------------------------------------
+# A6 — severity-band histogram (benchmark_comparison_test.go:419-434)
+# --------------------------------------------------------------------------
+
+def q_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("band", severity_band_col(F.col("value")))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("band")
+    )
+
+
+SQL_BAND_HISTOGRAM = """
+SELECT CASE WHEN value < 1 THEN 0 WHEN value <= 4 THEN 1 WHEN value <= 8 THEN 2
+            WHEN value <= 12 THEN 3 WHEN value <= 16 THEN 4 ELSE 5 END AS band,
+       count(*) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A1/A4 — exact record counting per group (logs.go:12-14, 22-24)
+# --------------------------------------------------------------------------
+
+def q_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("props")).cast("long").alias("props_bytes"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_COUNT_BY_TYPE = """
+SELECT event_type, count(*) AS n, sum(length(props))::BIGINT AS props_bytes
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A7 — context stats: count + byte size of found context strings
+# (benchmark_comparison_test.go:360-369)
+# --------------------------------------------------------------------------
+
+def q_context_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("source").alias("context_count"),
+        F.coalesce(F.sum(F.length("source")), F.lit(0)).cast("long").alias("context_bytes"),
+    )
+
+
+SQL_CONTEXT_STATS = """
+SELECT count(source) AS context_count,
+       coalesce(sum(length(source)), 0)::BIGINT AS context_bytes
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# P13/P11 — FIRST-match resolution, position-keyed (attributes.go:336-404)
+# P2      — LAST-value-wins (wire.go:296-321)
+# --------------------------------------------------------------------------
+
+def q_first_last_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", "event_id").alias("first_type"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_FIRST_LAST_RESOLUTION = """
+SELECT user_id, arg_min(event_type, event_id) AS first_type,
+       arg_max(value, event_id) AS last_value, count(*) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# P3 — merged enumeration in wire order, duplicates preserved
+# (extractMergedMessage wire.go:171-260, resource_test.go:287-333)
+# --------------------------------------------------------------------------
+
+def q_merged_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    merged = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ),
+        ",",
+    )
+    return (
+        ev.where(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(merged.alias("merged_types"))
+        .orderBy("user_id")
+    )
+
+
+SQL_MERGED_ENUMERATION = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY event_id) AS merged_types
+FROM events WHERE user_id < 50 GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# P12 — typed value extraction from kv payload (attributes.go:27-33)
+# --------------------------------------------------------------------------
+
+def q_kv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("k_sum"),
+            F.count(F.when(k > 50, 1)).alias("k_gt50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_KV_EXTRACT = r"""
+SELECT event_type,
+       sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT))::BIGINT AS k_sum,
+       count(CASE WHEN CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) > 50
+                  THEN 1 END) AS k_gt50
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins — broadcast enrichment (SURVEY.md §2.3); semi/anti (§2.5 set ops)
+# --------------------------------------------------------------------------
+
+def q_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).cast("double").alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+SQL_ENRICH_BROADCAST = """
+SELECT r_name, count(*) AS n_customers,
+       round(avg(c_acctbal), 4)::DOUBLE AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.where(F.col("l_quantity") > 45).select("l_orderkey").distinct()
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT o_orderpriority, count(*) AS n FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT count(*) AS n_customers_without_orders FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregation pipeline — TPC-H Q1 shape (hash agg, partial+final)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).cast("double").alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).cast("double").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)::DOUBLE AS sum_qty,
+       round(sum(l_extendedprice), 2)::DOUBLE AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS sum_disc_price,
+       round(avg(l_quantity), 4)::DOUBLE AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-02'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Top-k with deterministic tiebreak (reference has no sorts; ours per
+# SURVEY.md §2.5 — position/key-explicit ordering only)
+# --------------------------------------------------------------------------
+
+def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+SQL_TOPK_USERS = """
+SELECT user_id, count(*) AS n FROM events GROUP BY 1
+ORDER BY n DESC, user_id ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Absent vs present-but-empty (logs.go:121-132 nil-vs-'' semantics)
+# --------------------------------------------------------------------------
+
+def q_absent_empty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.when(F.col("text").isNull(), 1)).alias("n_absent"),
+        F.count(F.when(F.col("text") == "", 1)).alias("n_empty"),
+        F.count(F.when(F.length("text") > 0, 1)).alias("n_present"),
+    )
+
+
+SQL_ABSENT_EMPTY_STATS = """
+SELECT count(CASE WHEN text IS NULL THEN 1 END) AS n_absent,
+       count(CASE WHEN text = '' THEN 1 END) AS n_empty,
+       count(CASE WHEN length(text) > 0 THEN 1 END) AS n_present
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup — exact (hash-groupBy)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum("n_copies").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_copies") > 1, F.col("n_copies") - 1).otherwise(0))
+            .cast("long").alias("n_dupes_removed"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT count(*) AS n_unique, sum(n_copies)::BIGINT AS n_docs,
+       sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END)::BIGINT AS n_dupes_removed
+FROM (SELECT md5(text) AS h, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      FROM documents GROUP BY 1)
+"""
+
+
+# --------------------------------------------------------------------------
+# F1 — document fingerprinting: bit-exact FNV-64a, oracled by an
+# independent pure-SQL implementation (the pdata-parity analog)
+# --------------------------------------------------------------------------
+
+def q_fingerprint_fnv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        fnv64a_col(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")).alias(
+            "fnv64"
+        ),
+    ).orderBy("doc_id")
+
+
+SQL_FINGERPRINT_FNV = f"""
+SELECT doc_id,
+  CASE WHEN h >= 9223372036854775808::HUGEINT
+       THEN (h - 18446744073709551616::HUGEINT)::BIGINT ELSE h::BIGINT END AS fnv64
+FROM (
+  SELECT doc_id, {FNV_SQL.format(col="coalesce(text, '')")} AS h
+  FROM documents WHERE doc_id < 100
+) ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# F2/A5 — shard assignment + per-sink exact counters
+# (example_test.go:46-48; conservation otlpwire_test.go:188-222)
+# --------------------------------------------------------------------------
+
+def q_wire_shard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        docs.withColumn("shard", shard_col(F.encode(url, "UTF-8"), 8))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("char_count"),
+        )
+        .orderBy("shard")
+    )
+
+
+_URL_EXPR = "'https://' || source || '.example.com/doc' || doc_id::VARCHAR"
+SQL_WIRE_SHARD_COUNTS = f"""
+SELECT ({FNV_SQL.format(col=f"({_URL_EXPR})")} % 8)::INT AS shard,
+       count(*) AS n_docs, sum(n_chars)::BIGINT AS char_count
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Flagship: REAL Arrow parse UDF under the oracle — html built
+# deterministically from documents, severity resolved last-wins, banded
+# --------------------------------------------------------------------------
+
+def q_wire_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    sev1 = (d * 7) % 25
+    sev2 = (d * 13) % 25
+    marker = F.when(d % 11 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("severity="), sev1.cast("string"), F.lit(";"),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit("severity="), sev2.cast("string"), F.lit(";")),
+            ).otherwise(F.lit("")),
+        )
+    )
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body>"), marker, F.lit("<p>"),
+            F.coalesce(F.col("text"), F.lit("")), F.lit("</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+    parsed = docs.withColumn("parsed", parse_page_udf(html))
+    return (
+        parsed.withColumn("band", severity_band_col(F.col("parsed.severity")))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("band")
+    )
+
+
+SQL_WIRE_BAND_HISTOGRAM = """
+WITH sev AS (
+  SELECT CASE WHEN doc_id % 11 = 0 THEN 0
+              WHEN doc_id % 5 = 0 THEN (doc_id * 13) % 25
+              ELSE (doc_id * 7) % 25 END AS severity
+  FROM documents
+)
+SELECT CASE WHEN severity < 1 THEN 0 WHEN severity <= 4 THEN 1
+            WHEN severity <= 8 THEN 2 WHEN severity <= 12 THEN 3
+            WHEN severity <= 16 THEN 4 ELSE 5 END AS band, count(*) AS n
+FROM sev GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "band_histogram": q_band_histogram,
+    "count_by_type": q_count_by_type,
+    "context_stats": q_context_stats,
+    "first_last_resolution": q_first_last_resolution,
+    "merged_enumeration": q_merged_enumeration,
+    "kv_extract": q_kv_extract,
+    "enrich_broadcast": q_enrich_broadcast,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "pricing_summary": q_pricing_summary,
+    "topk_users": q_topk_users,
+    "absent_empty_stats": q_absent_empty_stats,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint_fnv": q_fingerprint_fnv,
+    "wire_shard_counts": q_wire_shard_counts,
+    "wire_band_histogram": q_wire_band_histogram,
+}
+
+ORACLES = {
+    "band_histogram": SQL_BAND_HISTOGRAM,
+    "count_by_type": SQL_COUNT_BY_TYPE,
+    "context_stats": SQL_CONTEXT_STATS,
+    "first_last_resolution": SQL_FIRST_LAST_RESOLUTION,
+    "merged_enumeration": SQL_MERGED_ENUMERATION,
+    "kv_extract": SQL_KV_EXTRACT,
+    "enrich_broadcast": SQL_ENRICH_BROADCAST,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "topk_users": SQL_TOPK_USERS,
+    "absent_empty_stats": SQL_ABSENT_EMPTY_STATS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "fingerprint_fnv": SQL_FINGERPRINT_FNV,
+    "wire_shard_counts": SQL_WIRE_SHARD_COUNTS,
+    "wire_band_histogram": SQL_WIRE_BAND_HISTOGRAM,
+}

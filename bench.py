@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries + the end-to-end routed-pages
+pipeline at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "routed_docs_per_sec": <headline throughput>, ...}
+
+The headline metric (BASELINE.json) is end-to-end routed docs/sec with
+per-sink count exactness: N synthetic pages → parse (Arrow UDF) → enrich
+(broadcast) → route (FNV shard, repartition) → per-shard parquet sinks +
+exact manifests. Scaling-efficiency evidence (local[8] vs local[32]) is
+produced by scripts/scaling_bench.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from otlp_wire_spark.session import get_spark  # noqa: E402
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", int(20_000_000 * sf)))
+
+    spark = get_spark(
+        app_name="otlp-wire-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from otlp_wire_spark.fixtures.pages import generate_lookup, generate_pages
+    from otlp_wire_spark.operators.classify import band_histogram, context_stats
+    from otlp_wire_spark.operators.counting import quarantine_split
+    from otlp_wire_spark.operators.enrich import enrich, with_url_host
+    from otlp_wire_spark.operators.parse import parse_pages
+    from otlp_wire_spark.operators.route import route, shard_manifest, write_sharded
+    from otlp_wire_spark.queries import QUERIES
+
+    # Warm up the JVM + the Python worker pool (workers pay a one-time
+    # numpy/pandas import that amortizes to zero at real scale but would
+    # dominate a single cold measurement — operations.md:97-103 analog).
+    from otlp_wire_spark.functions.fnv import shard_col
+    from pyspark.sql import functions as _F
+
+    spark.range(50_000, numPartitions=cpus).select(
+        shard_col(_F.encode(_F.col("id").cast("string"), "UTF-8"), 8).alias("s")
+    ).agg(_F.sum("s")).collect()
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: end-to-end routed pages pipeline ----------------------
+    out_dir = tempfile.mkdtemp(prefix="owspark_bench_")
+    try:
+        t0 = time.perf_counter()
+        pages = generate_pages(spark, n_pages, num_partitions=cpus * 2)
+        lookup = generate_lookup(spark)
+        parsed = parse_pages(pages)
+        clean, _quar = quarantine_split(parsed)
+        enriched = enrich(with_url_host(clean), lookup)
+        routed = route(
+            enriched, route_key_col="url", num_shards=8,
+            partitions_per_shard=max(1, cpus // 4),
+        )
+        sink_path = os.path.join(out_dir, "data")
+        write_sharded(routed, sink_path)
+        # manifest + aggregates read back from the sink (parse runs ONCE)
+        sink = spark.read.parquet(sink_path)
+        manifest = shard_manifest(sink).collect()
+        pipeline_sec = time.perf_counter() - t0
+        timings["pipeline_route"] = round(pipeline_sec, 3)
+        routed_docs = sum(int(r["page_count"]) for r in manifest)
+
+        t0 = time.perf_counter()
+        bands = band_histogram(sink, severity_col="parsed.severity").collect()
+        ctx = context_stats(sink).collect()
+        timings["pipeline_aggregate"] = round(time.perf_counter() - t0, 3)
+        assert len(bands) == 6 and ctx is not None
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    # ---- headline SQL-oracle queries on the sf tables ---------------------
+    bench_queries = [
+        "pricing_summary",
+        "band_histogram",
+        "count_by_type",
+        "first_last_resolution",
+        "enrich_broadcast",
+        "wire_shard_counts",
+        "wire_band_histogram",
+        "dedup_exact",
+        "fingerprint_fnv",
+        "topk_users",
+    ]
+    for name in bench_queries:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end routed docs/sec + headline query latency",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_pages": n_pages,
+                "routed_docs": routed_docs,
+                "routed_docs_per_sec": round(routed_docs / pipeline_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -16,8 +16,14 @@ from pyspark.sql import functions as F
 
 
 def with_url_host(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Derive the join key: host of the page URL (JVM-side parse_url)."""
-    return df.withColumn("url_host", F.parse_url(F.col(url_col), F.lit("HOST")))
+    """Derive the join key: host of the page URL.
+
+    regexp_extract, not parse_url — parse_url drags each row through Java
+    URI parsing (~4× slower in our profile) for a fixed-shape extraction a
+    simple anchored regex does inside codegen."""
+    return df.withColumn(
+        "url_host", F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    )
 
 
 def enrich(df: DataFrame, lookup: DataFrame) -> DataFrame:

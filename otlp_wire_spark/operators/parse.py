@@ -135,9 +135,57 @@ def parse_page_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         yield _extract_frame(html)
 
 
-def parse_pages(df: DataFrame, html_col: str = "html") -> DataFrame:
-    """Attach the parsed struct. Select only `parsed.<field>` downstream —
-    nested-schema pruning keeps unneeded fields out of the Arrow transfer."""
+def parse_pages_expr(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """JVM-expression extractor — the default hot path.
+
+    Same contract as ``parse_page_udf`` but built entirely from Spark
+    builtins (try_validate_utf8, regexp_extract_all, zip_with): stays inside
+    WholeStageCodegen, no Python workers, no Arrow transfer. This is the
+    "wire path"; the Arrow UDF is the "decode path" — two independent
+    implementations pinned identical by tests/test_parse.py, exactly like
+    the reference's wire-vs-pdata parity gate
+    (benchmark_comparison_test.go:297-301).
+    """
+    h = F.col(html_col)
+    s = F.expr(f"try_validate_utf8({html_col})")
+    err = (
+        F.when(h.isNull(), F.lit("null_payload"))
+        .when(s.isNull(), F.lit("utf8_decode_error"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    sevs = F.regexp_extract_all(s, F.lit(r"severity=(\d+);"), F.lit(1))
+    severity = F.coalesce(
+        F.try_element_at(sevs, F.lit(-1)).cast("int"), F.lit(0)
+    )
+    texts = F.regexp_extract_all(s, F.lit(r"severity_text=([^;]*);"), F.lit(1))
+    severity_text = F.try_element_at(texts, F.lit(-1))
+    keys = F.regexp_extract_all(s, F.lit(r"kv:([^=;]*)=[^;]*;"), F.lit(1))
+    vals = F.regexp_extract_all(s, F.lit(r"kv:[^=;]*=([^;]*);"), F.lit(1))
+    attrs = F.zip_with(keys, vals, lambda k, v: F.struct(k.alias("key"), v.alias("value")))
+    record_count = F.size(F.regexp_extract_all(s, F.lit(r"<rec>.*?</rec>"), F.lit(0)))
+    extracted_text = F.try_element_at(
+        F.regexp_extract_all(s, F.lit(r"(?s)<p>(.*?)</p>"), F.lit(1)), F.lit(1)
+    )
+    ok = err.isNull()
+    parsed = F.struct(
+        F.when(ok, severity).alias("severity"),
+        F.when(ok, severity_text).alias("severity_text"),
+        F.when(ok, attrs).alias("attrs"),
+        F.when(ok, record_count).alias("record_count"),
+        F.when(ok, extracted_text).alias("extracted_text"),
+        err.alias("parse_error"),
+    )
+    return df.withColumn("parsed", parsed)
+
+
+def parse_pages(df: DataFrame, html_col: str = "html", impl: str = "expr") -> DataFrame:
+    """Attach the parsed struct. ``impl='expr'`` (default) uses the JVM
+    codegen path; ``impl='arrow'`` uses the Arrow UDF path (for payloads
+    whose grammar outgrows Java regex — grok-style extraction). Select only
+    `parsed.<field>` downstream — nested-schema pruning keeps unneeded
+    fields out of the scan."""
+    if impl == "expr":
+        return parse_pages_expr(df, html_col)
     return df.withColumn("parsed", parse_page_udf(F.col(html_col)))
 
 

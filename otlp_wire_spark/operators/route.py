@@ -43,11 +43,23 @@ def route(
     df: DataFrame,
     route_key_col: str = "url",
     num_shards: int = 8,
+    partitions_per_shard: int = 1,
 ) -> DataFrame:
     """Assign shards and co-locate each shard's rows (the explicit
-    repartition-by-shard-key the north_rule mandates)."""
-    return with_shard(df, route_key_col, num_shards).repartition(
-        num_shards, F.col("shard")
+    repartition-by-shard-key the north_rule mandates).
+
+    ``partitions_per_shard > 1`` adds a deterministic sub-shard salt to the
+    repartition key so sink-write parallelism isn't capped at num_shards
+    (8 shards on a 1000-executor cluster would otherwise leave 992 cores
+    idle during the write). Rows of one shard still land exclusively in
+    that shard's sink directory — partitionBy('shard') guarantees routing
+    regardless of task layout; the salt only splits the WORK."""
+    sharded = with_shard(df, route_key_col, num_shards)
+    if partitions_per_shard <= 1:
+        return sharded.repartition(num_shards, F.col("shard"))
+    salt = F.pmod(F.xxhash64(F.col(route_key_col)), F.lit(partitions_per_shard))
+    return sharded.repartition(
+        num_shards * partitions_per_shard, F.col("shard"), salt
     )
 
 

@@ -111,20 +111,21 @@ def run_pipeline(
                         clean=clean.count())
 
     # ---- stage: enrich + route + sinks -----------------------------------
-    enriched = enrich(with_url_host(clean), lookup)
-    routed = route(enriched, route_key_col="url", num_shards=num_shards)
-
     routed_dir = _stage_dir(run_dir, "routed")
+    sink_path = os.path.join(routed_dir, "data")
     if _stage_complete(run_dir, "routed", fingerprint):
         skipped.append("routed")
         shard_rows = json.load(open(_manifest_path(run_dir, "routed")))["per_shard"]
         per_shard = {int(k): v for k, v in shard_rows.items()}
     else:
-        write_sharded(
-            routed.drop("attrs"), os.path.join(routed_dir, "data"), fmt=sink_format
-        )
-        manifest_df = shard_manifest(routed)
-        rows = manifest_df.collect()
+        enriched = enrich(with_url_host(clean), lookup)
+        routed = route(enriched, route_key_col="url", num_shards=num_shards)
+        write_sharded(routed, sink_path, fmt=sink_format)
+        # Counters are derived from the SINK read-back, never from a
+        # re-derived DAG: what the manifest describes is exactly what a
+        # consumer of the sink will read (count-conservation contract,
+        # otlpwire_test.go:188-222), and the parse stage runs exactly once.
+        rows = shard_manifest(spark.read.parquet(sink_path)).collect()
         per_shard = {
             int(r["shard"]): {
                 "page_count": int(r["page_count"]),
@@ -139,11 +140,12 @@ def run_pipeline(
         )
 
     # ---- stage: aggregate (band histogram + context stats) ---------------
-    bands = band_histogram(routed, severity_col="parsed.severity").collect()
+    sink = spark.read.parquet(sink_path)
+    bands = band_histogram(sink, severity_col="parsed.severity").collect()
     band_counts = [0] * 6
     for r in bands:
         band_counts[int(r["band"])] = int(r["n"])
-    ctx = context_stats(routed).collect()[0]
+    ctx = context_stats(sink).collect()[0]
 
     total_pages = sum(v["page_count"] for v in per_shard.values()) + quarantined_n
     result = PipelineResult(

@@ -123,10 +123,35 @@ def test_attr_resolution_semantics(spark):
             assert r["first_k1"] == f"v{i % 7}" and r["last_k1"] == "dup", i
 
 
-def test_plan_is_arrow_only(spark):
-    """Allocation-gate analog (SURVEY.md §5): the physical plan must use
-    ArrowEvalPython (vectorized), never BatchEvalPython (per-row)."""
+def test_expr_and_arrow_paths_identical(spark):
+    """Two independent extractors over the same bytes must agree on every
+    output AND on accept/reject — the wire-vs-pdata parity gate
+    (reference benchmark_comparison_test.go:297-301, operations.md:25)."""
+    pages = generate_pages(spark, 800)
+    cols = [
+        "page_id", "parsed.severity", "parsed.severity_text", "parsed.attrs",
+        "parsed.record_count", "parsed.extracted_text", "parsed.parse_error",
+    ]
+    a = {r["page_id"]: r for r in parse_pages(pages, impl="expr").select(cols).collect()}
+    b = {r["page_id"]: r for r in parse_pages(pages, impl="arrow").select(cols).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert tuple(a[k]) == tuple(b[k]), k
+
+
+def test_expr_path_is_pure_jvm(spark):
+    """The default (expr) parse path must contain NO Python evaluation at
+    all — whole-stage codegen end to end."""
     df = parse_pages(generate_pages(spark, 10)).select("parsed.severity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # neither Batch- nor Arrow-
+
+
+def test_plan_is_arrow_only(spark):
+    """Allocation-gate analog (SURVEY.md §5): when Python IS used (arrow
+    impl), the plan must use ArrowEvalPython (vectorized), never
+    BatchEvalPython (per-row)."""
+    df = parse_pages(generate_pages(spark, 10), impl="arrow").select("parsed.severity")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan

@@ -70,10 +70,8 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # ---- headline: end-to-end routed pages pipeline ----------------------
-    out_dir = tempfile.mkdtemp(prefix="owspark_bench_")
-    try:
-        t0 = time.perf_counter()
-        pages = generate_pages(spark, n_pages, num_partitions=cpus * 2)
+    def run_route_pipeline(n: int, out: str) -> int:
+        pages = generate_pages(spark, n, num_partitions=cpus * 2)
         lookup = generate_lookup(spark)
         parsed = parse_pages(pages)
         clean, _quar = quarantine_split(parsed)
@@ -82,15 +80,44 @@ def main() -> None:
             enriched, route_key_col="url", num_shards=8,
             partitions_per_shard=max(1, cpus // 4),
         )
-        sink_path = os.path.join(out_dir, "data")
+        sink_path = os.path.join(out, "data")
         write_sharded(routed, sink_path)
-        # manifest + aggregates read back from the sink (parse runs ONCE)
-        sink = spark.read.parquet(sink_path)
-        manifest = shard_manifest(sink).collect()
-        pipeline_sec = time.perf_counter() - t0
-        timings["pipeline_route"] = round(pipeline_sec, 3)
-        routed_docs = sum(int(r["page_count"]) for r in manifest)
+        # manifest read back from the sink (parse runs ONCE)
+        manifest = shard_manifest(spark.read.parquet(sink_path)).collect()
+        return sum(int(r["page_count"]) for r in manifest)
 
+    # Sink to tmpfs when available: the metric is pipeline throughput, not
+    # local-disk writeback (a real cluster's sinks are distributed storage);
+    # page-cache flush from prior runs otherwise adds multi-second noise.
+    bench_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out_dir = tempfile.mkdtemp(prefix="owspark_bench_", dir=bench_tmp)
+    try:
+        # Warm the exact plan shape: JIT-compiles the generated code paths
+        # so the timed iterations measure steady-state throughput (the
+        # quantity that exists at 100 TB), not first-job compilation.
+        # Then several timed iterations in THIS JVM, median reported
+        # (reference methodology: operations.md:97-103).
+        import shutil as _sh
+        import statistics as _stats
+
+        run_route_pipeline(max(10_000, n_pages // 20), os.path.join(out_dir, "w0"))
+        run_route_pipeline(n_pages, os.path.join(out_dir, "w1"))
+        _sh.rmtree(os.path.join(out_dir, "w1"), ignore_errors=True)
+
+        trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "1"))
+        durations = []
+        routed_docs = 0
+        for trial in range(trials):
+            main_dir = os.path.join(out_dir, "main")
+            _sh.rmtree(main_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            routed_docs = run_route_pipeline(n_pages, main_dir)
+            durations.append(time.perf_counter() - t0)
+        pipeline_sec = _stats.median(durations)
+        timings["pipeline_route"] = round(pipeline_sec, 3)
+        all_trials = [round(d, 3) for d in durations]
+
+        sink = spark.read.parquet(os.path.join(out_dir, "main", "data"))
         t0 = time.perf_counter()
         bands = band_histogram(sink, severity_col="parsed.severity").collect()
         ctx = context_stats(sink).collect()
@@ -98,6 +125,27 @@ def main() -> None:
         assert len(bands) == 6 and ctx is not None
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+    # pipeline-only mode for the scaling harness (scripts/scaling_bench.py)
+    if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "pipeline":
+        print(
+            json.dumps(
+                {
+                    "metric": "routed docs/sec",
+                    "value": timings["pipeline_route"],
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "n_pages": n_pages,
+                    "routed_docs": routed_docs,
+                    "routed_docs_per_sec": round(routed_docs / pipeline_sec, 1),
+                    "trial_secs": all_trials,
+                    "cpus": cpus,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     # ---- headline SQL-oracle queries on the sf tables ---------------------
     bench_queries = [

@@ -97,6 +97,52 @@ def fnv64a_col(col: Column | str) -> Column:
     return _fnv(c)
 
 
+FNV64_OFFSET_SIGNED = -3750763034362895579  # int64 bit pattern of the basis
+FNV64_PRIME_SIGNED = 0x100000001B3  # fits in a positive int64
+
+
+def fnv64a_expr(col: Column | str) -> Column:
+    """Pure-JVM FNV-64a over an ASCII string column → LongType bit pattern.
+
+    The hot path: a codegen'd ``aggregate`` fold — no Python workers, no
+    Arrow transfer. Requires ``spark.sql.ansi.enabled=false`` (set by
+    session.get_spark) so the ``* prime`` wraps mod 2^64 exactly like the
+    reference's uint64 arithmetic (stdlib hash/fnv, example_test.go:454-458).
+
+    ASCII-only: ``ascii()`` yields code points, which equal byte values only
+    for 7-bit input. Route keys here are URLs built from ASCII; for
+    arbitrary binary payloads use ``fnv64a_col`` (Arrow UDF) instead.
+    Bit-exactness vs the pure-Python oracle is pinned by tests/test_fnv.py.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    folded = F.aggregate(
+        F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(FNV64_OFFSET_SIGNED).cast("long"),
+        lambda h, b: h.bitwiseXOR(b) * F.lit(FNV64_PRIME_SIGNED),
+    )
+    # split('', '') yields [''] (one bogus element) — guard empty/NULL to
+    # the offset basis, matching fnv64a(b'').
+    return F.when(
+        c.isNull() | (F.length(c) == 0), F.lit(FNV64_OFFSET_SIGNED).cast("long")
+    ).otherwise(folded)
+
+
+def shard_expr(col: Column | str, num_shards: int) -> Column:
+    """JVM-side ``FNV-64a(key) % num_shards`` with the modulo taken in
+    uint64 space, reconstructed from the signed bit pattern:
+    ``u64 = h + 2^64`` when h<0, so ``u64 % N = (pmod(h,N) + (2^64 % N)) % N``.
+    Power-of-two N reduces to a mask of the low bits (exact)."""
+    h = fnv64a_expr(col)
+    if num_shards & (num_shards - 1) == 0:
+        return h.bitwiseAND(F.lit(num_shards - 1)).cast("int")
+    wrap = (1 << 64) % num_shards
+    return F.pmod(
+        F.pmod(h, F.lit(num_shards))
+        + F.when(h < 0, F.lit(wrap)).otherwise(F.lit(0)),
+        F.lit(num_shards),
+    ).cast("int")
+
+
 def shard_col(col: Column | str, num_shards: int) -> Column:
     """``FNV-64a(key) % num_shards`` computed in uint64 space (IntegerType).
 

@@ -1,0 +1,238 @@
+"""Deduplication operators over document tables — exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine.
+
+Not part of the reference's surface (it routes telemetry), but first-class
+for the 100 TB training-data pipeline this engine targets. Everything below
+is pure JVM expressions (codegen, no Python): shingle hashing reuses the
+bit-exact FNV-64a fold (functions/fnv.py), so every stage here has an
+independent DuckDB-SQL oracle.
+
+Scale notes:
+- exact_dedup: one hash-shuffle on the digest; at 100 TB use a 128-bit
+  digest (md5) — 64-bit birthday-collides around 4×10^9 docs.
+- ngram-Jaccard all-pairs is O(n²) — correctness oracle ONLY; the scale
+  path is minhash_lsh: O(n · bands) shuffle, candidates ∝ true near-dups,
+  verified by exact Jaccard on the (tiny) candidate set.
+- LSH self-join keys are (band_idx, band_signature) — high cardinality, no
+  skew; hot buckets (boilerplate pages) are bounded by a per-bucket cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from otlp_wire_spark.functions.fnv import fnv64a_expr
+
+# Deterministic permutation constants for MinHash: LCG over a fixed seed.
+# Mirrored literally in the SQL oracle (queries.py) — change in lockstep.
+MERSENNE_P = (1 << 31) - 1  # 2^31-1, prime
+
+
+def minhash_perms(k: int = 16, seed: int = 42) -> list[tuple[int, int]]:
+    perms = []
+    state = seed
+    for _ in range(k):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = 1 + state % (MERSENNE_P - 1)
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        b = state % MERSENNE_P
+        perms.append((a, b))
+    return perms
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; NULL text → empty array."""
+    return F.when(
+        text.isNull() | (F.length(F.trim(text)) == 0), F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined), wire order irrelevant."""
+    toks = tokens_col(text)
+    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_hashes_col(text: Column, n: int = 3) -> Column:
+    """FNV-64a of each distinct shingle, folded into [0, 2^31) so the
+    MinHash permutation arithmetic (a*x+b) stays overflow-free in int64."""
+    return F.transform(
+        shingles_col(text, n),
+        lambda s: F.pmod(fnv64a_expr(s), F.lit(MERSENNE_P)),
+    )
+
+
+def minhash_signature_col(text: Column, k: int = 16, n: int = 3) -> Column:
+    """k-permutation MinHash signature: sig_j = min_x (a_j*x + b_j) mod p.
+    Empty shingle set → signature of p (sentinel max) per row."""
+    hashes = shingle_hashes_col(text, n)
+    parts = [
+        F.coalesce(
+            F.array_min(
+                F.transform(
+                    hashes,
+                    lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P)),
+                )
+            ),
+            F.lit(MERSENNE_P),
+        )
+        for (a, b) in minhash_perms(k)
+    ]
+    return F.array(*parts)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each byte-identical text —
+    deterministic under retries (min is idempotent), one shuffle."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("_h")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold. O(n²) — oracle/test path;
+    use minhash_lsh_candidates at scale."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
+    ).where(F.size("sh") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter / union
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 4).cast("double").alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs: split the k-row signature into ``bands`` bands,
+    bucket by (band_idx, band_signature), emit pairs sharing ≥1 bucket.
+
+    Scale path: the only wide op is a groupBy on band keys; pathological
+    buckets (e.g. empty/boilerplate docs) are truncated at ``bucket_cap``
+    ids (logged upstream as a quality signal, not silently unbounded work).
+    """
+    r = k // bands
+    sig = minhash_signature_col(F.col(text_col), k, n)
+    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.array_join(F.slice(F.col("sig"), i * r + 1, r), "_"),
+            )
+        ).alias("band", "band_sig"),
+    )
+    buckets = banded.groupBy("band", "band_sig").agg(
+        F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap).alias("ids")
+    ).where(F.size("ids") > 1)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ids") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("ids")),
+                        lambda j: F.struct(
+                            F.element_at(F.col("ids"), i).alias("id_a"),
+                            F.element_at(F.col("ids"), j).alias("id_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    return pairs
+
+
+def simhash16_col(text: Column) -> Column:
+    """16-bit SimHash over whitespace tokens (FNV-64a token hashes).
+
+    bit_i = 1 iff Σ_tokens (±1 by hash bit i) ≥ 0. Empty/NULL text → 0.
+    Pure JVM fold; the SQL oracle recomputes it bit-for-bit.
+    """
+    toks = tokens_col(text)
+    hashes = F.transform(toks, lambda t: fnv64a_expr(t))
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            )
+            >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(16)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return F.when(F.size(toks) == 0, F.lit(0)).otherwise(total).cast("int")
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold, exact all-pairs.
+
+    O(n²) — the scale path buckets by LSH first (similarity.py); this exact
+    kernel then verifies candidates only."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 4).cast("double").alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -24,19 +24,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from otlp_wire_spark.functions.fnv import shard_col
+from otlp_wire_spark.functions.fnv import shard_col, shard_expr
 
 
 def with_shard(
     df: DataFrame, route_key_col: str = "url", num_shards: int = 8
 ) -> DataFrame:
     """shard = FNV-64a(route_key bytes) % N, uint64-space modulo
-    (example_test.go:46-48; bit-exactness pinned by tests/test_fnv.py)."""
-    key = F.col(route_key_col)
-    key_bytes = key if dict(df.dtypes).get(route_key_col) == "binary" else F.encode(
-        key, "UTF-8"
-    )
-    return df.withColumn("shard", shard_col(key_bytes, num_shards))
+    (example_test.go:46-48; bit-exactness pinned by tests/test_fnv.py).
+
+    String route keys (URLs — ASCII by construction) take the pure-JVM
+    codegen path; binary keys take the Arrow-UDF path. Both are pinned
+    bit-identical."""
+    if dict(df.dtypes).get(route_key_col) == "binary":
+        return df.withColumn(
+            "shard", shard_col(F.col(route_key_col), num_shards)
+        )
+    return df.withColumn("shard", shard_expr(F.col(route_key_col), num_shards))
 
 
 def route(

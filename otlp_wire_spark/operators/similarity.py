@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns — brute-force cosine top-k
+(exact baseline) and random-hyperplane LSH bucketing (the scale path).
+
+Scale notes:
+- brute-force top-k is a broadcast of the (small) query set against the
+  corpus — no corpus shuffle, one partial top-k per partition then a final
+  k-merge (Spark's TakeOrdered); exact, O(corpus × queries).
+- lsh_ann buckets corpus and queries by sign-pattern of dot products with
+  deterministic hyperplanes, then brute-forces only within buckets:
+  candidates shrink ~2^-bits; recall measured against the exact kernel in
+  tests (tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (excluding self-match).
+
+    Ties broken by ascending corpus id — deterministic under any
+    partitioning (SURVEY.md §2.5: order must be key-explicit, never
+    row-order)."""
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("c_v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_v")
+    )
+    cos = _dot(F.col("q_v"), F.col("c_v")) / (
+        _norm(F.col("q_v")) * _norm(F.col("c_v"))
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cos, 4).cast("double").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
+
+
+def hyperplanes(dim: int, bits: int = 8, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (no RNG state: a
+    sin-hash of (seed, bit, dim) — reproducible anywhere, incl. tests)."""
+    planes = []
+    for b in range(bits):
+        v = [
+            math.sin(seed * 1000.003 + b * 97.13 + d * 13.37) for d in range(dim)
+        ]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit_i = 1 iff v · plane_i ≥ 0."""
+    v = _as_double(vec)
+    acc = F.lit(0)
+    for i, p in enumerate(planes):
+        dot = _dot(v, F.array(*[F.lit(x) for x in p]))
+        acc = acc + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc.cast("int")
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: join only within matching LSH buckets, then rank.
+
+    At 100 TB the bucket join is a hash-shuffle on the (bits)-bit bucket id
+    with corpus pre-bucketed once and reused across query batches."""
+    planes = hyperplanes(dim, bits)
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        _as_double(F.col(vec_col)).alias("c_v"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        _as_double(F.col(vec_col)).alias("q_v"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    cos = _dot(F.col("q_v"), F.col("c_v")) / (
+        _norm(F.col("q_v")) * _norm(F.col("c_v"))
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(cos, 4).cast("double").alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )

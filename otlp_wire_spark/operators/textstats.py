@@ -1,0 +1,99 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure JVM expressions with DuckDB-SQL oracles.
+
+These are the training-data-pipeline companions to the parse stage: cheap,
+codegen'd per-row scores a 100 TB curation run computes on every document
+(no shuffle at all — embarrassingly parallel scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from otlp_wire_spark.functions.fnv import fnv64a_expr
+
+# Fixed stopword sets for the n-gram/stopword language heuristic — tiny on
+# purpose (they're literals in both engines). Order = tiebreak priority.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+    "es": ["el", "la", "los", "y", "es", "un", "una"],
+}
+
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+# BPE-ish token regex: lowercase runs, uppercase-led runs, digit runs,
+# single punctuation — a deterministic approximation of byte-pair chunking.
+TOKEN_REGEX = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count; NULL/empty → 0."""
+    return F.when(
+        text.isNull() | (F.length(F.trim(text)) == 0), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(text), r"\s+"))).cast("int")
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish regex token count; NULL → 0."""
+    return F.coalesce(
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0))), F.lit(0)
+    ).cast("int")
+
+
+def _marker_hits(text: Column, words: list[str]) -> Column:
+    """How many of the marker words occur (as whole tokens) in the text —
+    distinct-marker count, not occurrence count (set semantics match the
+    SQL oracle's list_intersect)."""
+    toks = F.when(text.isNull(), F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(F.trim(text)), r"\s+")
+    )
+    return F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+    )
+
+
+def lang_id_col(text: Column) -> Column:
+    """Argmax of marker-word overlap; ties → earlier key in LANG_MARKERS,
+    all-zero → 'unknown'. Deterministic, SQL-mirrorable CASE chain."""
+    scores = {k: _marker_hits(text, v) for k, v in LANG_MARKERS.items()}
+    keys = list(LANG_MARKERS)
+    mx = F.greatest(*[scores[k] for k in keys])
+    out = F.when(mx == 0, F.lit("unknown"))
+    for k in keys:
+        out = out.when(scores[k] == mx, F.lit(k))
+    return out.otherwise(F.lit("unknown"))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are EN stopwords; 0 for empty."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n = ws_token_count(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(hits / n, 4)
+    ).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]:
+    0.5·min(tokens/100,1) + 0.3·(1−stopword_ratio) + 0.2·min(avg_len/10,1).
+    """
+    n = ws_token_count(text)
+    avg_len = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.length(F.trim(text)) / n
+    )
+    score = (
+        F.lit(0.5) * F.least(n / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - stopword_ratio(text))
+        + F.lit(0.2) * F.least(avg_len / F.lit(10.0), F.lit(1.0))
+    )
+    return F.round(F.when(n == 0, F.lit(0.0)).otherwise(score), 4).cast("double")
+
+
+def fingerprint_col(text: Column) -> Column:
+    """64-bit content fingerprint: FNV-64a of the raw text (bit pattern as
+    LongType). NULL text hashes as empty (reference absent→basis analog)."""
+    return fnv64a_expr(F.coalesce(text, F.lit("")))

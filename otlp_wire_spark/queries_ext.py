@@ -1,0 +1,348 @@
+"""Batch-2 driver-contract queries: dedup / similarity / text analysis /
+multimodal — the training-data-pipeline operator suite, each with a DuckDB
+oracle where SQL-expressible (multimodal is rows-only: the decode stub is
+Python-side by design).
+
+Shared constants (MinHash permutations, marker word lists, token regex) are
+single-sourced from the operator modules and injected into the SQL strings,
+so the two implementations cannot drift silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from otlp_wire_spark.operators import dedup, similarity, textstats
+from otlp_wire_spark.operators.multimodal import extract_media_features, generate_media
+from otlp_wire_spark.queries import FNV_SQL, _t
+
+P = dedup.MERSENNE_P
+PERMS = dedup.minhash_perms(16)
+
+# DuckDB mirrors of the token/shingle pipeline ------------------------------
+
+_SQL_TOKS = (
+    "CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(text), '\\s+') END"
+)
+_SQL_FNV_TOKEN = FNV_SQL.format(col="t")
+
+
+def _sql_shingle_hashes() -> str:
+    """list of pmod(FNV(shingle), 2^31-1) for distinct 3-gram shingles."""
+    return f"""
+      list_transform(
+        list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+          ELSE list_transform(range(1, len(toks)-1),
+                              i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) END),
+        s -> ({FNV_SQL.format(col="s")} % {P})::BIGINT)
+    """
+
+
+# --------------------------------------------------------------------------
+# token counting
+# --------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textstats.ws_token_count(t).alias("n_ws"),
+        textstats.regex_token_count(t).alias("n_re"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_STATS = rf"""
+SELECT doc_id,
+  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END::INT AS n_ws,
+  coalesce(len(regexp_extract_all(text, '{textstats.TOKEN_REGEX}')), 0)::INT AS n_re
+FROM documents ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+_STOPS = ", ".join(f"'{w}'" for w in textstats.STOPWORDS_EN)
+SQL_QUALITY_SCORES = f"""
+WITH base AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+), stats AS (
+  SELECT doc_id, len(toks) AS n,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE round(len(list_filter(list_transform(toks, t -> lower(t)),
+                                    t -> t IN ({_STOPS})))::DOUBLE / len(toks), 4)
+    END AS stop_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE length(trim(text))::DOUBLE / len(toks) END AS avg_len
+  FROM base
+)
+SELECT doc_id,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE round(0.5*least(n/100.0, 1.0) + 0.3*(1.0-stop_ratio)
+                  + 0.2*least(avg_len/10.0, 1.0), 4) END::DOUBLE AS quality
+FROM stats ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# language ID (marker-word overlap argmax)
+# --------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.lang_id_col(F.col("text")).alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+def _sql_lang_score(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        "len(list_intersect(list_distinct(list_transform("
+        f"{_SQL_TOKS}, t -> lower(t))), [{lst}]))"
+    )
+
+
+_LANG_SCORES = {k: _sql_lang_score(v) for k, v in textstats.LANG_MARKERS.items()}
+SQL_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id,
+    {_LANG_SCORES["en"]} AS s_en, {_LANG_SCORES["de"]} AS s_de,
+    {_LANG_SCORES["fr"]} AS s_fr, {_LANG_SCORES["es"]} AS s_es
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+       ELSE 'unknown' END AS pred_lang
+FROM s ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact — the oracle for LSH)
+# --------------------------------------------------------------------------
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = r"""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(t)-1),
+                                 i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+  WHERE len(t) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(a.s || b.s)), 4)::DOUBLE AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+            / len(list_distinct(a.s || b.s)), 4) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH candidate pairs (the scale path, oracled end-to-end)
+# --------------------------------------------------------------------------
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=16, bands=4, n=3
+    ).orderBy("id_a", "id_b")
+
+
+_SQL_SIG_PARTS = ",\n    ".join(
+    f"coalesce(list_min(list_transform(hs, x -> ({a}*x + {b}) % {P})), {P}) AS sig{j}"
+    for j, (a, b) in enumerate(PERMS)
+)
+_SQL_BAND_KEYS = ", ".join(
+    "concat_ws('_', sig{}, sig{}, sig{}, sig{}) AS band{}".format(
+        4 * i, 4 * i + 1, 4 * i + 2, 4 * i + 3, i
+    )
+    for i in range(4)
+)
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), hashes AS (
+  SELECT doc_id, {_sql_shingle_hashes()} AS hs FROM base
+), sigs AS (
+  SELECT doc_id, {_SQL_SIG_PARTS} FROM hashes
+), bands AS (
+  SELECT doc_id, {_SQL_BAND_KEYS} FROM sigs
+), long_bands AS (
+  SELECT doc_id, 0 AS band, band0 AS key FROM bands UNION ALL
+  SELECT doc_id, 1, band1 FROM bands UNION ALL
+  SELECT doc_id, 2, band2 FROM bands UNION ALL
+  SELECT doc_id, 3, band3 FROM bands
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM long_bands a JOIN long_bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash (16-bit, FNV token hashes)
+# --------------------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dedup.simhash16_col(F.col("text")).alias("simhash")
+    ).orderBy("doc_id")
+
+
+_SQL_SIMHASH_BITS = " + ".join(
+    f"""CASE WHEN list_sum(list_transform(hs,
+      h -> CASE WHEN ((h::UBIGINT >> {i}) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+      THEN {1 << i} ELSE 0 END"""
+    for i in range(16)
+)
+SQL_SIMHASH = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), hashes AS (
+  SELECT doc_id, len(toks) AS n,
+         list_transform(toks, t -> {_SQL_FNV_TOKEN}) AS hs
+  FROM base
+)
+SELECT doc_id,
+  CASE WHEN n = 0 THEN 0 ELSE {_SQL_SIMHASH_BITS} END::INT AS simhash
+FROM hashes ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# embedding similarity: exact top-k + near-dup pairs
+# --------------------------------------------------------------------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
+
+
+SQL_COSINE_TOPK = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         round(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))), 4)::DOUBLE AS cosine
+  FROM q JOIN v c ON c.vec_id != q.vec_id
+)
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3 ORDER BY q_id, rank
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e))), 4)::DOUBLE AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# salted two-phase aggregation == plain GROUP BY (skew-handling parity)
+# --------------------------------------------------------------------------
+
+def q_salted_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_v")
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("_n").cast("long").alias("n"),
+            F.round(F.sum("_v"), 2).cast("double").alias("value_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SALTED_GROUP_COUNTS = """
+SELECT user_id, count(*) AS n, round(sum(value), 2)::DOUBLE AS value_sum
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (rows-only: decode stub is Python-side by design)
+# --------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = generate_media(spark, 2000)
+    return extract_media_features(media).select(
+        "media_id", "kind", "byte_count", "payload_fingerprint", "decode_error"
+    ).orderBy("media_id")
+
+
+QUERIES_EXT = {
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "salted_group_counts": q_salted_group_counts,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES_EXT = {
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "lang_id": SQL_LANG_ID,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "salted_group_counts": SQL_SALTED_GROUP_COUNTS,
+    # multimodal_features: intentionally no oracle (rows-only check)
+}

@@ -49,11 +49,16 @@ def get_spark(
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Wrapping 64-bit arithmetic (classic pipeline posture): required
+        # for the pure-JVM FNV-64a (functions/fnv.py fnv64a_expr) whose
+        # multiply must wrap mod 2^64 instead of raising ARITHMETIC_OVERFLOW.
+        .config("spark.sql.ansi.enabled", "false")
         # AQE: runtime partition coalescing + skew-join splitting.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -69,7 +74,11 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
+        # Commit the whole heap at startup: growing it lazily under a
+        # 32-thread allocation storm serializes in the kernel (95% sys time
+        # zeroing pages) and wrecks the first heavy job.
+        .config("spark.driver.extraJavaOptions", f"-Xms{driver_mem}")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,115 @@
+"""Structured Streaming wrapper — the same DataFrame stages under
+readStream (SURVEY.md §2.8: the reference is stateless; batching and
+acknowledgement are consumer-owned, so the batch stages lift directly).
+
+Design:
+- parse / classify / enrich / shard are narrow transforms → applied to the
+  streaming DataFrame unchanged.
+- the per-shard sink write + exact per-batch manifests run inside
+  ``foreachBatch``: each micro-batch is routed with the SAME batch code
+  (route → partitionBy sink → manifest read-back), keyed by epoch id, so
+  per-sink counters stay exact under retries (foreachBatch may re-run an
+  epoch; the manifest write is idempotent per epoch — the streaming analog
+  of the count-conservation invariant, otlpwire_test.go:188-222).
+- optional event-time windowed band histogram with a watermark on warc_ts
+  handles late pages.
+
+Tests drive this with Trigger.AvailableNow over a directory source
+(tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from otlp_wire_spark.operators.classify import severity_band_col
+from otlp_wire_spark.operators.counting import quarantine_split
+from otlp_wire_spark.operators.enrich import enrich, with_url_host
+from otlp_wire_spark.operators.parse import parse_pages
+from otlp_wire_spark.operators.route import route, shard_manifest, write_sharded
+
+
+def read_pages_stream(
+    spark: SparkSession, src_dir: str, schema, max_files_per_trigger: int = 4
+) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def streaming_route(
+    pages_stream: DataFrame,
+    lookup: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    num_shards: int = 8,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Route a page stream to per-shard sinks with exact per-epoch manifests."""
+    parsed = parse_pages(pages_stream)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        clean, quarantined = quarantine_split(batch_df)
+        n_quarantined = quarantined.count()
+        enriched = enrich(with_url_host(clean), lookup)
+        routed = route(enriched, route_key_col="url", num_shards=num_shards)
+        epoch_path = os.path.join(out_dir, f"epoch={epoch_id}")
+        write_sharded(routed, epoch_path)
+        rows = shard_manifest(spark.read.parquet(epoch_path)).collect()
+        manifest = {
+            "epoch": epoch_id,
+            "quarantined": n_quarantined,
+            "per_shard": {
+                str(int(r["shard"])): {
+                    "page_count": int(r["page_count"]),
+                    "record_count": int(r["record_count"]),
+                    "byte_count": int(r["byte_count"]),
+                }
+                for r in rows
+            },
+        }
+        tmp = os.path.join(out_dir, f"_manifest_epoch_{epoch_id}.json.tmp")
+        final = os.path.join(out_dir, f"_manifest_epoch_{epoch_id}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        os.replace(tmp, final)  # idempotent per-epoch commit
+
+    writer = (
+        parsed.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_band_counts(
+    pages_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time severity-band histogram with late-data handling: counts
+    per (event-time window, band); late pages beyond the watermark are
+    dropped deterministically."""
+    parsed = parse_pages(pages_stream)
+    clean = parsed.where(F.col("parsed.parse_error").isNull())
+    return (
+        clean.withWatermark("warc_ts", watermark)
+        .withColumn("band", severity_band_col(F.col("parsed.severity")))
+        .groupBy(F.window("warc_ts", window).alias("w"), "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "band",
+            "n",
+        )
+    )

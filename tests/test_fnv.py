@@ -14,7 +14,9 @@ from otlp_wire_spark.functions.fnv import (
     fnv64a,
     fnv64a_numpy,
     fnv64a_col,
+    fnv64a_expr,
     shard_col,
+    shard_expr,
 )
 
 # Published FNV-1a 64 test vectors (IETF draft-eastlake-fnv, public domain).
@@ -68,3 +70,40 @@ def test_udf_matches_pure_and_shards_in_uint64_space(spark):
     # at least one hash has the sign bit set, proving the uint64-vs-int64
     # distinction is actually exercised
     assert any(r["h"] < 0 for r in out)
+
+
+@pytest.mark.usefixtures("spark")
+def test_jvm_expr_matches_pure_incl_non_pow2_shards(spark):
+    """The pure-JVM codegen FNV (hot path) must be bit-identical to the
+    pure-Python definition, and uint64-space sharding must hold for both
+    power-of-two and general N."""
+    import string
+    rng = random.Random(23)
+    alphabet = string.ascii_letters + string.digits + ":/.?&=_-"
+    keys = [""] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 90)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    out = df.select(
+        "k",
+        fnv64a_expr("k").alias("h"),
+        shard_expr("k", 8).alias("s8"),
+        shard_expr("k", 7).alias("s7"),
+    ).collect()
+    for r in out:
+        want = fnv64a(r["k"].encode())
+        assert r["h"] == np.uint64(want).astype(np.int64), r["k"]
+        assert r["s8"] == want % 8, r["k"]
+        assert r["s7"] == want % 7, r["k"]
+
+
+@pytest.mark.usefixtures("spark")
+def test_jvm_expr_plan_has_no_python(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        fnv64a_expr(F.col("id").cast("string")).alias("h")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

@@ -1,0 +1,168 @@
+"""Operator-level tests for the training-data-pipeline suite: dedup,
+similarity, text stats, multimodal plumbing. The DuckDB-oracle parity for
+these lives in test_entry.py (driver-gate replication); here we pin the
+semantic properties an oracle can't express (recall bounds, plants,
+determinism, error quarantine)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from otlp_wire_spark.functions.fnv import fnv64a
+from otlp_wire_spark.operators import dedup, similarity, textstats
+from otlp_wire_spark.operators.multimodal import (
+    extract_media_features,
+    generate_media,
+)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (5, "aa"), (9, "aa"), (7, "bb"), (3, "cc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}
+
+
+def test_minhash_lsh_recall_on_planted_near_dups(spark):
+    """Every pair with Jaccard ≥ 0.95 must appear in the LSH candidates
+    (16 hashes / 4 bands: miss probability < 1e-5 at j=0.95)."""
+    base = "w" + " w".join(str(i) for i in range(60))
+    rows = [(i, base + f" tail{i}") for i in range(10)]  # near-dups of base
+    rows += [(100 + i, f"completely different text number {i} " * 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(df, threshold=0.95).collect()
+    }
+    assert exact, "fixture must contain true near-dups"
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(df).collect()
+    }
+    assert exact <= cand
+    # and LSH must prune: nowhere near all C(20,2) pairs
+    assert len(cand) < 150
+
+
+def test_simhash_near_for_near_texts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "entirely unrelated words about spark shuffles and parquet"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", dedup.simhash16_col(F.col("text")).alias("sh")
+        ).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(out[1], out[2]) <= 6
+    assert ham(out[1], out[3]) >= ham(out[1], out[2])
+    assert out[4] == 0 and out[5] == 0
+
+
+def test_lsh_ann_finds_planted_duplicate(spark):
+    """A duplicated vector lands in the same LSH bucket by construction and
+    must come back as the top-1 neighbor with cosine 1.0."""
+    dim = 8
+    vecs = []
+    for i in range(40):
+        vecs.append((i, [math.sin(i * 1.7 + d) for d in range(dim)]))
+    vecs.append((999, list(vecs[3][1])))  # exact duplicate of vec 3
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = similarity.lsh_ann_topk(
+        df, df.where(F.col("vec_id") == 999), dim=dim, k=3, bits=6
+    ).collect()
+    assert out, "duplicate must share a bucket"
+    top = out[0]
+    assert top["c_id"] == 3 and top["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_ann_subset_of_exact_scores(spark):
+    """Approximate results must carry EXACT cosines (same kernel), and its
+    (q,c) pairs must be a subset of the brute-force scored universe."""
+    dim = 6
+    vecs = [(i, [math.cos(i + d * 0.9) for d in range(dim)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 3)
+    exact = {
+        (r["q_id"], r["c_id"]): r["cosine"]
+        for r in similarity.cosine_topk(df, q, k=29).collect()
+    }
+    approx = similarity.lsh_ann_topk(df, q, dim=dim, k=5, bits=4).collect()
+    for r in approx:
+        assert exact[(r["q_id"], r["c_id"])] == r["cosine"]
+
+
+def test_textstats_edge_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, None),
+            (3, ""),
+            (4, "   "),
+            (5, "der und das ist nicht ein"),
+            (6, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            textstats.ws_token_count(F.col("text")).alias("n"),
+            textstats.lang_id_col(F.col("text")).alias("lang"),
+            textstats.quality_score(F.col("text")).alias("q"),
+            textstats.fingerprint_col(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert rows[1]["n"] == 8 and rows[1]["lang"] == "en"
+    assert rows[2]["n"] == 0 and rows[3]["n"] == 0 and rows[4]["n"] == 0
+    assert rows[2]["q"] == 0.0
+    assert rows[5]["lang"] == "de"
+    assert rows[6]["lang"] == "unknown"
+    import numpy as np
+
+    assert rows[2]["fp"] == np.uint64(fnv64a(b"")).astype(np.int64)
+    assert rows[1]["fp"] == np.uint64(
+        fnv64a(b"the cat and the dog of the house")
+    ).astype(np.int64)
+
+
+def test_multimodal_features_and_quarantine(spark):
+    media = generate_media(spark, 300)
+    out = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert len(out) == 300
+    for i, r in out.items():
+        if i % 47 == 0:
+            assert r["decode_error"] is not None and r["feature"] is None
+        else:
+            assert r["decode_error"] is None
+            assert len(r["feature"]) == 5
+    # fingerprint matches pure-python FNV over the actual payload bytes
+    payloads = {
+        r["media_id"]: bytes(r["payload"]) if r["payload"] is not None else b""
+        for r in media.collect()
+    }
+    import numpy as np
+
+    for i in (1, 2, 50, 47):
+        want = np.uint64(fnv64a(payloads[i])).astype(np.int64)
+        assert out[i]["payload_fingerprint"] == want, i
+
+
+def test_multimodal_plan_is_arrow(spark):
+    df = extract_media_features(generate_media(spark, 10))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,83 @@
+"""Structured Streaming tests: availableNow micro-batches through the same
+stages, per-epoch manifest exactness, windowed band counts with watermark."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from otlp_wire_spark.fixtures import oracle
+from otlp_wire_spark.fixtures.pages import generate_lookup, generate_pages
+from otlp_wire_spark.streaming.stream import (
+    read_pages_stream,
+    streaming_route,
+    windowed_band_counts,
+)
+
+N = 1500
+NUM_SHARDS = 8
+
+
+@pytest.fixture(scope="module")
+def src_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    # several files so availableNow produces multiple micro-batches
+    generate_pages(spark, N).repartition(6).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_streaming_route_conserves_counts(spark, src_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    schema = spark.read.parquet(src_dir).schema
+    stream = read_pages_stream(spark, src_dir, schema, max_files_per_trigger=2)
+    q = streaming_route(stream, generate_lookup(spark), out, ckpt,
+                        num_shards=NUM_SHARDS)
+    q.awaitTermination(180)
+
+    manifests = sorted(glob.glob(os.path.join(out, "_manifest_epoch_*.json")))
+    assert len(manifests) >= 2, "expected multiple micro-batches"
+    per_shard = {k: {"page_count": 0, "record_count": 0, "byte_count": 0}
+                 for k in range(NUM_SHARDS)}
+    quarantined = 0
+    for m in manifests:
+        data = json.load(open(m))
+        quarantined += data["quarantined"]
+        for k, v in data["per_shard"].items():
+            for f in v:
+                per_shard[int(k)][f] += v[f]
+
+    want = oracle.expected_pipeline(N, NUM_SHARDS)
+    assert quarantined == want["quarantined"]
+    for k in range(NUM_SHARDS):
+        assert per_shard[k] == want["per_shard"][k], f"shard {k}"
+
+    # routed rows on disk equal the batch answer too
+    rows = spark.read.parquet(os.path.join(out, "epoch=*")).count() if glob.glob(
+        os.path.join(out, "epoch=*")) else 0
+    assert rows == N - want["quarantined"]
+
+
+def test_windowed_band_counts_with_watermark(spark, src_dir, tmp_path_factory):
+    schema = spark.read.parquet(src_dir).schema
+    stream = read_pages_stream(spark, src_dir, schema, max_files_per_trigger=3)
+    agg = windowed_band_counts(stream, window="10 minutes", watermark="5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("band_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT band, sum(n) AS n FROM band_windows GROUP BY band ORDER BY band"
+    ).collect()
+    want = oracle.expected_pipeline(N, NUM_SHARDS)["band_counts"]
+    got_list = [0] * 6
+    for r in got:
+        got_list[int(r["band"])] = int(r["n"])
+    assert got_list == want

@@ -114,14 +114,17 @@ def jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
     jac = inter / union
+    # jaccard emitted floor-quantized (×10⁴): ratios of small ints land on
+    # decimal half-boundaries where Spark/DuckDB round() disagree; the
+    # threshold compares the raw ratio (identical doubles both engines)
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
+        .where(jac >= threshold)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(jac, 4).cast("double").alias("jaccard"),
+            F.floor(jac * F.lit(10000.0)).cast("long").alias("jaccard_q4"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
 
 

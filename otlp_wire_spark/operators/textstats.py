@@ -68,17 +68,18 @@ def lang_id_col(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
-    """Fraction of whitespace tokens that are EN stopwords; 0 for empty."""
+    """Fraction of whitespace tokens that are EN stopwords; 0 for empty.
+    Unrounded: rounding of ratio-of-small-ints values (e.g. 3/32) is
+    engine-dependent at the half boundary — quantize only at the edge with
+    ``quantize4``."""
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     n = ws_token_count(text)
     hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
-    return F.when(n == 0, F.lit(0.0)).otherwise(
-        F.round(hits / n, 4)
-    ).cast("double")
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n).cast("double")
 
 
 def quality_score(text: Column) -> Column:
-    """Deterministic quality heuristic in [0,1]:
+    """Deterministic quality heuristic in [0,1] (unrounded double):
     0.5·min(tokens/100,1) + 0.3·(1−stopword_ratio) + 0.2·min(avg_len/10,1).
     """
     n = ws_token_count(text)
@@ -90,7 +91,16 @@ def quality_score(text: Column) -> Column:
         + F.lit(0.3) * (F.lit(1.0) - stopword_ratio(text))
         + F.lit(0.2) * F.least(avg_len / F.lit(10.0), F.lit(1.0))
     )
-    return F.round(F.when(n == 0, F.lit(0.0)).otherwise(score), 4).cast("double")
+    return F.when(n == 0, F.lit(0.0)).otherwise(score).cast("double")
+
+
+def quantize4(col: Column) -> Column:
+    """floor(x·10⁴) as LongType — cross-engine-deterministic quantization.
+
+    Spark's round() HALF_UPs the shortest decimal repr while DuckDB rounds
+    the binary double, so exact-decimal ratios (0.78775) disagree at the
+    half boundary; floor of identical double arithmetic cannot."""
+    return F.floor(col * F.lit(10000.0)).cast("long")
 
 
 def fingerprint_col(text: Column) -> Column:

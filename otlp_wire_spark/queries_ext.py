@@ -70,7 +70,10 @@ FROM documents ORDER BY doc_id
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", textstats.quality_score(F.col("text")).alias("quality")
+        "doc_id",
+        textstats.quantize4(textstats.quality_score(F.col("text"))).alias(
+            "quality_q4"
+        ),
     ).orderBy("doc_id")
 
 
@@ -81,17 +84,18 @@ WITH base AS (
 ), stats AS (
   SELECT doc_id, len(toks) AS n,
     CASE WHEN len(toks) = 0 THEN 0.0
-         ELSE round(len(list_filter(list_transform(toks, t -> lower(t)),
-                                    t -> t IN ({_STOPS})))::DOUBLE / len(toks), 4)
+         ELSE len(list_filter(list_transform(toks, t -> lower(t)),
+                              t -> t IN ({_STOPS})))::DOUBLE / len(toks)
     END AS stop_ratio,
     CASE WHEN len(toks) = 0 THEN 0.0
          ELSE length(trim(text))::DOUBLE / len(toks) END AS avg_len
   FROM base
 )
 SELECT doc_id,
-  CASE WHEN n = 0 THEN 0.0
-       ELSE round(0.5*least(n/100.0, 1.0) + 0.3*(1.0-stop_ratio)
-                  + 0.2*least(avg_len/10.0, 1.0), 4) END::DOUBLE AS quality
+  CASE WHEN n = 0 THEN 0
+       ELSE floor((0.5*least(n/100.0, 1.0) + 0.3*(1.0-stop_ratio)
+                   + 0.2*least(avg_len/10.0, 1.0)) * 10000.0) END::BIGINT
+       AS quality_q4
 FROM stats ORDER BY doc_id
 """
 
@@ -155,11 +159,11 @@ WITH sh AS (
   WHERE len(t) >= 3
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.s, b.s))::DOUBLE
-             / len(list_distinct(a.s || b.s)), 4)::DOUBLE AS jaccard
+       floor((len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(a.s || b.s))) * 10000.0)::BIGINT AS jaccard_q4
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
-            / len(list_distinct(a.s || b.s)), 4) >= 0.5
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      / len(list_distinct(a.s || b.s)) >= 0.5
 ORDER BY id_a, id_b
 """
 

@@ -33,12 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from otlp_wire_spark.queries import QUERIES
     from otlp_wire_spark.queries_ext import QUERIES_EXT
+    from otlp_wire_spark.queries_wire import QUERIES_WIRE
 
-    return {**QUERIES, **QUERIES_EXT}
+    return {**QUERIES, **QUERIES_EXT, **QUERIES_WIRE}
 
 
 def oracle_sql() -> dict[str, str]:
     from otlp_wire_spark.queries import ORACLES
     from otlp_wire_spark.queries_ext import ORACLES_EXT
+    from otlp_wire_spark.queries_wire import ORACLES_WIRE
 
-    return {**ORACLES, **ORACLES_EXT}
+    return {**ORACLES, **ORACLES_EXT, **ORACLES_WIRE}

@@ -1,0 +1,155 @@
+"""Batch-3 driver-contract queries: the FULL parse surface under the
+oracle. Each query builds page html deterministically from `documents`
+(SQL-expressible arithmetic on doc_id), runs the REAL extractor (both
+implementations), and the DuckDB oracle recomputes the expected values
+directly from the same arithmetic — so the parser itself is what's being
+graded, not the generator.
+
+Covers the reference semantics the earlier wire_* queries didn't:
+- record counting through <rec> blocks (A1, logs.go:12-14)
+- duplicate-key attrs: first-wins lookup vs last-wins vs full enumeration
+  (P13/P2/P3; attributes.go:336-404, wire.go:296-321, 171-260)
+- absent vs present-but-empty severity_text (logs.go:121-132)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from otlp_wire_spark.operators.parse import (
+    attr_first_value,
+    attr_last_value,
+    attrs_merged,
+    parse_pages,
+)
+from otlp_wire_spark.queries import _t
+
+
+def _wire_html(d: F.Column) -> F.Column:
+    """kv pairs (dup k1 on doc_id%3==0), severity_text trichotomy,
+    1 + doc_id%7 <rec> blocks. ASCII, SQL-mirrorable."""
+    sevtext = (
+        F.when(d % 13 == 0, F.lit(""))
+        .when(d % 17 == 0, F.lit("severity_text=;"))
+        .otherwise(
+            F.concat(F.lit("severity_text=T"), ((d * 3) % 25).cast("string"), F.lit(";"))
+        )
+    )
+    kv = F.concat(
+        F.lit("kv:k1=v"), (d % 7).cast("string"), F.lit(";"),
+        F.when(d % 3 == 0, F.lit("kv:k1=dup;")).otherwise(F.lit("")),
+        F.lit("kv:k2=w"), (d % 5).cast("string"), F.lit(";"),
+    )
+    recs = F.repeat(F.lit("<rec>x</rec>"), (d % 7 + 1).cast("int"))
+    return F.concat(F.lit("<html><body>"), sevtext, kv, recs, F.lit("</body></html>"))
+
+
+def _parsed_docs(spark: SparkSession, sf_dir: str, impl: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    with_html = docs.withColumn(
+        "html", F.encode(_wire_html(F.col("doc_id")), "UTF-8")
+    )
+    return parse_pages(with_html, impl=impl)
+
+
+def q_wire_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nested-record counting through the real parser (expr impl),
+    scoped per container (lang) — A1 + A4."""
+    parsed = _parsed_docs(spark, sf_dir, "expr")
+    return (
+        parsed.groupBy("lang")
+        .agg(
+            F.sum(F.col("parsed.record_count")).cast("long").alias("record_count"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_WIRE_RECORD_COUNTS = """
+SELECT lang, sum(1 + doc_id % 7)::BIGINT AS record_count, count(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_wire_attr_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-key resolution through the real parser (arrow impl — the
+    alternate path earns oracle coverage here): FIRST-wins lookup,
+    LAST-wins, wire-order merged enumeration, absent-vs-empty
+    severity_text state."""
+    parsed = _parsed_docs(spark, sf_dir, "arrow")
+    attrs = F.col("parsed.attrs")
+    sevtext = F.col("parsed.severity_text")
+    return parsed.select(
+        "doc_id",
+        attr_first_value(attrs, "k1").alias("first_k1"),
+        attr_last_value(attrs, "k1").alias("last_k1"),
+        attr_first_value(attrs, "k2").alias("k2"),
+        F.size(attrs).alias("n_attrs"),
+        attrs_merged(attrs).alias("merged"),
+        F.when(sevtext.isNull(), F.lit("absent"))
+        .when(sevtext == "", F.lit("empty"))
+        .otherwise(F.lit("value"))
+        .alias("sevtext_state"),
+    ).orderBy("doc_id")
+
+
+SQL_WIRE_ATTR_RESOLUTION = """
+SELECT doc_id,
+  'v' || (doc_id % 7)::VARCHAR AS first_k1,
+  CASE WHEN doc_id % 3 = 0 THEN 'dup'
+       ELSE 'v' || (doc_id % 7)::VARCHAR END AS last_k1,
+  'w' || (doc_id % 5)::VARCHAR AS k2,
+  CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END::INT AS n_attrs,
+  CASE WHEN doc_id % 3 = 0
+       THEN 'k1=v' || (doc_id % 7)::VARCHAR || ';k1=dup;k2=w' || (doc_id % 5)::VARCHAR
+       ELSE 'k1=v' || (doc_id % 7)::VARCHAR || ';k2=w' || (doc_id % 5)::VARCHAR
+  END AS merged,
+  CASE WHEN doc_id % 13 = 0 THEN 'absent'
+       WHEN doc_id % 17 = 0 THEN 'empty'
+       ELSE 'value' END AS sevtext_state
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_wire_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row error semantics: rows whose payload is invalid UTF-8 (every
+    doc_id%29==0 gets a malformed byte) quarantine with exact counts —
+    the reference's batch-abort (wire.go:40-42) as per-row fail-fast."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.when(
+        F.col("doc_id") % 29 == 0, F.unhex(F.lit("FF"))
+    ).otherwise(F.encode(_wire_html(F.col("doc_id")), "UTF-8"))
+    parsed = parse_pages(docs.withColumn("html", html), impl="expr")
+    return parsed.agg(
+        F.count(F.when(F.col("parsed.parse_error").isNotNull(), 1)).alias(
+            "n_quarantined"
+        ),
+        F.count(F.when(F.col("parsed.parse_error").isNull(), 1)).alias("n_clean"),
+        F.sum(
+            F.when(F.col("parsed.parse_error").isNull(), F.col("parsed.record_count"))
+        ).cast("long").alias("clean_record_count"),
+    )
+
+
+SQL_WIRE_QUARANTINE_COUNTS = """
+SELECT count(CASE WHEN doc_id % 29 = 0 THEN 1 END) AS n_quarantined,
+       count(CASE WHEN doc_id % 29 != 0 THEN 1 END) AS n_clean,
+       sum(CASE WHEN doc_id % 29 != 0 THEN 1 + doc_id % 7 END)::BIGINT
+         AS clean_record_count
+FROM documents
+"""
+
+
+QUERIES_WIRE = {
+    "wire_record_counts": q_wire_record_counts,
+    "wire_attr_resolution": q_wire_attr_resolution,
+    "wire_quarantine_counts": q_wire_quarantine_counts,
+}
+
+ORACLES_WIRE = {
+    "wire_record_counts": SQL_WIRE_RECORD_COUNTS,
+    "wire_attr_resolution": SQL_WIRE_ATTR_RESOLUTION,
+    "wire_quarantine_counts": SQL_WIRE_QUARANTINE_COUNTS,
+}

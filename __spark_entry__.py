@@ -19,13 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: build pages from documents,
     run the REAL Arrow parse UDF, classify severity bands, count."""
-    # local-mode executors need the package importable (cluster: --py-files)
-    repo = os.path.dirname(os.path.abspath(__file__))
-    pypath = os.environ.get("PYTHONPATH", "")
-    if repo not in pypath.split(os.pathsep):
-        os.environ["PYTHONPATH"] = repo + (os.pathsep + pypath if pypath else "")
-
     from otlp_wire_spark.queries import q_wire_band_histogram
+    from otlp_wire_spark.shipping import ensure_session_ready
+
+    ensure_session_ready(spark)  # ANSI conf + ship package to workers
 
     return q_wire_band_histogram(spark, "/root/testdata/sf0.001")
 

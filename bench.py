@@ -39,6 +39,12 @@ def _sf_from_dir(sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # measure the pipeline, not one shared local disk: shuffle on tmpfs
+    # (a real cluster's shuffle dirs are per-node NVMe, not one vda), and
+    # enough heap that 32 codegen threads aren't GC-bound.
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     sf = _sf_from_dir(sf_dir)
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", int(20_000_000 * sf)))
 
@@ -104,7 +110,7 @@ def main() -> None:
         run_route_pipeline(n_pages, os.path.join(out_dir, "w1"))
         _sh.rmtree(os.path.join(out_dir, "w1"), ignore_errors=True)
 
-        trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "1"))
+        trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
         durations = []
         routed_docs = 0
         for trial in range(trials):

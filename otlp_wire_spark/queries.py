@@ -25,6 +25,9 @@ from otlp_wire_spark.operators.parse import parse_page_udf
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from otlp_wire_spark.shipping import ensure_session_ready
+
+    ensure_session_ready(spark)  # foreign-session safety (driver's session)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

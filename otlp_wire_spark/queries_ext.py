@@ -319,6 +319,9 @@ FROM events GROUP BY 1 ORDER BY 1
 # --------------------------------------------------------------------------
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_wire_spark.shipping import ensure_session_ready
+
+    ensure_session_ready(spark)
     media = generate_media(spark, 2000)
     return extract_media_features(media).select(
         "media_id", "kind", "byte_count", "payload_fingerprint", "decode_error"

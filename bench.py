@@ -60,7 +60,7 @@ def main() -> None:
     from otlp_wire_spark.operators.counting import quarantine_split
     from otlp_wire_spark.operators.enrich import enrich, with_url_host
     from otlp_wire_spark.operators.parse import parse_pages
-    from otlp_wire_spark.operators.route import route, shard_manifest, write_sharded
+    from otlp_wire_spark.operators.route import route, write_sharded_with_manifest
     from otlp_wire_spark.queries import QUERIES
 
     # Warm up the JVM + the Python worker pool (workers pay a one-time
@@ -87,10 +87,9 @@ def main() -> None:
             partitions_per_shard=max(1, cpus // 4),
         )
         sink_path = os.path.join(out, "data")
-        write_sharded(routed, sink_path)
-        # manifest read back from the sink (parse runs ONCE)
-        manifest = shard_manifest(spark.read.parquet(sink_path)).collect()
-        return sum(int(r["page_count"]) for r in manifest)
+        # counters ride the write job (Observation) — no sink re-scan
+        per_shard = write_sharded_with_manifest(routed, sink_path, 8)
+        return sum(v["page_count"] for v in per_shard.values())
 
     # Sink to tmpfs when available: the metric is pipeline throughput, not
     # local-disk writeback (a real cluster's sinks are distributed storage);

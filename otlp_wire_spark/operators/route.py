@@ -82,6 +82,55 @@ def write_sharded(
     )
 
 
+def write_sharded_with_manifest(
+    routed: DataFrame,
+    out_path: str,
+    num_shards: int,
+    payload_col: str = "html",
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> dict[int, dict[str, int]]:
+    """Write per-shard sinks AND collect the exact per-shard counters from
+    the SAME job via Observation metrics — no second scan of the sink.
+
+    At 100 TB the read-back alternative re-reads everything just written;
+    observed metrics ride the write tasks for free and are exact (computed
+    on precisely the rows the committed job wrote — task retries don't
+    double-count because metrics come from the committed attempt).
+
+    Costs 3·num_shards conditional aggregates in the write stage; beyond
+    ~64 shards prefer shard_manifest() on the sink read-back (codegen'd
+    conditional-agg width has practical limits).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("shard_manifest")
+    exprs = []
+    shard = F.col("shard")
+    rec = F.col("parsed.record_count")
+    size = F.length(F.col(payload_col))
+    for k in range(num_shards):
+        is_k = F.when(shard == k, 1).otherwise(0)
+        exprs.append(F.sum(is_k).alias(f"pages_{k}"))
+        exprs.append(
+            F.sum(F.when(shard == k, rec).otherwise(0)).alias(f"records_{k}")
+        )
+        exprs.append(
+            F.sum(F.when(shard == k, size).otherwise(0)).alias(f"bytes_{k}")
+        )
+    observed = routed.observe(obs, *exprs)
+    observed.write.format(fmt).mode(mode).partitionBy("shard").save(out_path)
+    m = obs.get
+    return {
+        k: {
+            "page_count": int(m[f"pages_{k}"] or 0),
+            "record_count": int(m[f"records_{k}"] or 0),
+            "byte_count": int(m[f"bytes_{k}"] or 0),
+        }
+        for k in range(num_shards)
+    }
+
+
 def shard_manifest(routed: DataFrame, payload_col: str = "html") -> DataFrame:
     """Per-sink exact counters — (page_count, record_count, byte_count) per
     shard, mirroring the reference's count-conservation invariant

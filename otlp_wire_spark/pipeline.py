@@ -28,7 +28,7 @@ from otlp_wire_spark.operators.classify import band_histogram, context_stats
 from otlp_wire_spark.operators.counting import quarantine_split
 from otlp_wire_spark.operators.enrich import enrich, with_url_host
 from otlp_wire_spark.operators.parse import parse_pages
-from otlp_wire_spark.operators.route import route, shard_manifest, write_sharded
+from otlp_wire_spark.operators.route import route, write_sharded_with_manifest
 
 MANIFEST = "_MANIFEST.json"
 
@@ -120,20 +120,13 @@ def run_pipeline(
     else:
         enriched = enrich(with_url_host(clean), lookup)
         routed = route(enriched, route_key_col="url", num_shards=num_shards)
-        write_sharded(routed, sink_path, fmt=sink_format)
-        # Counters are derived from the SINK read-back, never from a
-        # re-derived DAG: what the manifest describes is exactly what a
-        # consumer of the sink will read (count-conservation contract,
-        # otlpwire_test.go:188-222), and the parse stage runs exactly once.
-        rows = shard_manifest(spark.read.parquet(sink_path)).collect()
-        per_shard = {
-            int(r["shard"]): {
-                "page_count": int(r["page_count"]),
-                "record_count": int(r["record_count"]),
-                "byte_count": int(r["byte_count"]),
-            }
-            for r in rows
-        }
+        # Counters ride the write job itself (Observation metrics) — exact
+        # for the committed rows, zero extra scan (count-conservation
+        # contract, otlpwire_test.go:188-222; the parse stage runs exactly
+        # once and the sink is never re-read).
+        per_shard = write_sharded_with_manifest(
+            routed, sink_path, num_shards, fmt=sink_format
+        )
         _write_manifest(
             run_dir, "routed", fingerprint,
             per_shard={str(k): v for k, v in per_shard.items()},

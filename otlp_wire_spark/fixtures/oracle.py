@@ -24,7 +24,7 @@ from otlp_wire_spark.fixtures.pages import (
 BASE_TS = datetime(2026, 1, 1, tzinfo=timezone.utc)
 MALFORMED = b"\xff\xfe<broken"
 
-_SEV_RE = re.compile(r"severity=(\d+);")
+_SEV_RE = re.compile(r"severity=(\d{1,9});")
 _SEVTEXT_RE = re.compile(r"severity_text=([^;]*);")
 _KV_RE = re.compile(r"kv:([^=;]*)=([^;]*);")
 _REC_RE = re.compile(r"<rec>.*?</rec>")

@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_SEV_RE = re.compile(r"severity=(\d+);")
+_SEV_RE = re.compile(r"severity=(\d{1,9});")
 _SEVTEXT_RE = re.compile(r"severity_text=([^;]*);")
 _KV_RE = re.compile(r"kv:([^=;]*)=([^;]*);")
 _REC_RE = re.compile(r"<rec>.*?</rec>")
@@ -153,7 +153,7 @@ def parse_pages_expr(df: DataFrame, html_col: str = "html") -> DataFrame:
         .when(s.isNull(), F.lit("utf8_decode_error"))
         .otherwise(F.lit(None).cast("string"))
     )
-    sevs = F.regexp_extract_all(s, F.lit(r"severity=(\d+);"), F.lit(1))
+    sevs = F.regexp_extract_all(s, F.lit(r"severity=(\d{1,9});"), F.lit(1))
     severity = F.coalesce(
         F.try_element_at(sevs, F.lit(-1)).cast("int"), F.lit(0)
     )

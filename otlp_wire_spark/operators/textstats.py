@@ -103,6 +103,25 @@ def quantize4(col: Column) -> Column:
     return F.floor(col * F.lit(10000.0)).cast("long")
 
 
+def rolling_fingerprint_col(text: Column, k: int = 8) -> Column:
+    """Rolling-window content fingerprint (winnowing-style): FNV-64a over
+    every k-char window, fingerprint = MIN hash (signed int64 compare,
+    mirrored exactly by the SQL oracle). Robust to content reordering at
+    window granularity, unlike the whole-text hash. NULL/short text → the
+    whole-text hash (degenerate window)."""
+    from otlp_wire_spark.functions.fnv import fnv64a_expr as _fnv
+
+    t = F.coalesce(text, F.lit(""))
+    n_windows = F.length(t) - (k - 1)
+    windows_min = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: _fnv(F.substring(t, i, F.lit(k))),
+        )
+    )
+    return F.when(n_windows < 1, _fnv(t)).otherwise(windows_min)
+
+
 def fingerprint_col(text: Column) -> Column:
     """64-bit content fingerprint: FNV-64a of the raw text (bit pattern as
     LongType). NULL text hashes as empty (reference absent→basis analog)."""

@@ -36,9 +36,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # functions/fnv.py which mirrors the reference's hash/fnv usage
 # (example_test.go:44-58).
 FNV_SQL = (
+    # lambda vars deliberately obscure (__fnv_*): this fragment gets nested
+    # inside callers' own lambdas (e.g. rolling windows over i) and DuckDB
+    # lambda variables shadow outer scopes silently.
     "list_reduce(list_prepend(14695981039346656037::HUGEINT, "
-    "list_transform(range(1, length({col})+1), i -> unicode({col}[i])::HUGEINT)), "
-    "(h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211) "
+    "list_transform(range(1, length({col})+1), "
+    "__fnv_i -> unicode({col}[__fnv_i])::HUGEINT)), "
+    "(__fnv_h, __fnv_b) -> "
+    "(xor(__fnv_h::UBIGINT, __fnv_b::UBIGINT)::HUGEINT * 1099511628211) "
     "% 18446744073709551616::HUGEINT)"
 )
 

@@ -328,7 +328,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        textstats.rolling_fingerprint_col(F.col("text"), k=8).alias("rfp"),
+    ).orderBy("doc_id")
+
+
+_FNV_WIN = FNV_SQL.format(col="(text[i:i+7])")
+_FNV_WHOLE = FNV_SQL.format(col="coalesce(text, '')")
+_TO_SIGNED = (
+    "CASE WHEN {h} >= 9223372036854775808::HUGEINT "
+    "THEN ({h} - 18446744073709551616::HUGEINT)::BIGINT ELSE ({h})::BIGINT END"
+)
+SQL_ROLLING_FINGERPRINT = f"""
+SELECT doc_id,
+  CASE WHEN length(coalesce(text,'')) < 8
+       THEN {_TO_SIGNED.format(h=_FNV_WHOLE)}
+       ELSE list_min(list_transform(range(1, length(text)-6),
+                     i -> {_TO_SIGNED.format(h=_FNV_WIN)}))
+  END AS rfp
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""
+
+
 QUERIES_EXT = {
+    "rolling_fingerprint": q_rolling_fingerprint,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -342,6 +368,7 @@ QUERIES_EXT = {
 }
 
 ORACLES_EXT = {
+    "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "token_stats": SQL_TOKEN_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id": SQL_LANG_ID,

@@ -62,6 +62,47 @@ def test_streaming_route_conserves_counts(spark, src_dir, tmp_path_factory):
     assert rows == N - want["quarantined"]
 
 
+def test_stateful_running_host_counters(spark, src_dir):
+    """Custom stateful operator (applyInPandasWithState): after draining
+    the stream, the LAST emitted running total per host equals the batch
+    answer — state survived across micro-batches."""
+    from otlp_wire_spark.operators.parse import parse_pages
+    from otlp_wire_spark.streaming.stateful import running_host_counters
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = read_pages_stream(spark, src_dir, schema, max_files_per_trigger=2)
+    counters = running_host_counters(parse_pages(stream))
+    q = (
+        counters.writeStream.format("memory")
+        .queryName("host_counters")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode emits one row per (host, batch); the max running total
+    # per host is the final state
+    got = {
+        r["url_host"]: (r["pages"], r["records"], r["bytes"])
+        for r in spark.sql(
+            "SELECT url_host, max(pages_total) AS pages, "
+            "max(records_total) AS records, max(bytes_total) AS bytes "
+            "FROM host_counters GROUP BY url_host"
+        ).collect()
+    }
+    want: dict[str, list[int]] = {}
+    for i in range(N):
+        e = oracle.extract(oracle.html(i))
+        if e.parse_error is not None:
+            continue
+        h = oracle.host(i)
+        w = want.setdefault(h, [0, 0, 0])
+        w[0] += 1
+        w[1] += e.record_count
+        w[2] += len(oracle.html(i))
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
 def test_windowed_band_counts_with_watermark(spark, src_dir, tmp_path_factory):
     schema = spark.read.parquet(src_dir).schema
     stream = read_pages_stream(spark, src_dir, schema, max_files_per_trigger=3)

@@ -82,8 +82,21 @@ def main() -> None:
         parsed = parse_pages(pages)
         clean, _quar = quarantine_split(parsed)
         enriched = enrich(with_url_host(clean), lookup)
+        # slim payload pre-shuffle: sink keeps verbatim html + counters;
+        # attrs/extracted_text re-derive from html on read
+        from pyspark.sql import functions as FF
+
+        slim = enriched.withColumn(
+            "parsed",
+            FF.struct(
+                FF.col("parsed.severity").alias("severity"),
+                FF.col("parsed.severity_text").alias("severity_text"),
+                FF.col("parsed.record_count").alias("record_count"),
+                FF.col("parsed.parse_error").alias("parse_error"),
+            ),
+        )
         routed = route(
-            enriched, route_key_col="url", num_shards=8,
+            slim, route_key_col="url", num_shards=8,
             partitions_per_shard=max(1, cpus // 4),
         )
         sink_path = os.path.join(out, "data")

@@ -119,7 +119,21 @@ def run_pipeline(
         per_shard = {int(k): v for k, v in shard_rows.items()}
     else:
         enriched = enrich(with_url_host(clean), lookup)
-        routed = route(enriched, route_key_col="url", num_shards=num_shards)
+        # Slim the routed payload before the shuffle: the sink carries the
+        # VERBATIM html bytes (WriteTo analog, wire.go:356-370) plus the
+        # counter/classification fields; attrs & extracted_text are
+        # re-derivable from html on read and would otherwise double the
+        # shuffle+write volume.
+        slim = enriched.withColumn(
+            "parsed",
+            F.struct(
+                F.col("parsed.severity").alias("severity"),
+                F.col("parsed.severity_text").alias("severity_text"),
+                F.col("parsed.record_count").alias("record_count"),
+                F.col("parsed.parse_error").alias("parse_error"),
+            ),
+        )
+        routed = route(slim, route_key_col="url", num_shards=num_shards)
         # Counters ride the write job itself (Observation metrics) — exact
         # for the committed rows, zero extra scan (count-conservation
         # contract, otlpwire_test.go:188-222; the parse stage runs exactly

@@ -463,6 +463,24 @@ FROM sev GROUP BY 1 ORDER BY 1
 
 
 # --------------------------------------------------------------------------
+# Early-stop / LIMIT (the reference's early-exit iteration,
+# otlpwire_test.go:1697-1724 — lazy iterators stop without visiting the
+# tail; Spark's analog is LIMIT pushdown into the scan)
+# --------------------------------------------------------------------------
+
+def q_early_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "n_chars").orderBy("doc_id").limit(5)
+    )
+
+
+SQL_EARLY_STOP = """
+SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -483,6 +501,7 @@ QUERIES = {
     "fingerprint_fnv": q_fingerprint_fnv,
     "wire_shard_counts": q_wire_shard_counts,
     "wire_band_histogram": q_wire_band_histogram,
+    "early_stop": q_early_stop,
 }
 
 ORACLES = {
@@ -502,4 +521,5 @@ ORACLES = {
     "fingerprint_fnv": SQL_FINGERPRINT_FNV,
     "wire_shard_counts": SQL_WIRE_SHARD_COUNTS,
     "wire_band_histogram": SQL_WIRE_BAND_HISTOGRAM,
+    "early_stop": SQL_EARLY_STOP,
 }

@@ -93,6 +93,25 @@ def test_resume_skips_completed_stages(spark, result):
     assert res2.quarantined == result.quarantined
 
 
+def test_deleted_manifest_forces_recompute(spark, result, tmp_path_factory):
+    """A sink without its manifest is NOT trusted: deleting the routed
+    manifest (simulating a crash between data commit and manifest commit)
+    forces recomputation, and the answers come out identical."""
+    import shutil
+
+    run_dir = str(tmp_path_factory.mktemp("pipeline_rerun"))
+    shutil.copytree(result.run_dir, run_dir, dirs_exist_ok=True)
+    os.remove(os.path.join(run_dir, "routed", "_MANIFEST.json"))
+    res2 = run_pipeline(
+        spark, generate_pages(spark, N), generate_lookup(spark), run_dir,
+        num_shards=NUM_SHARDS, fingerprint=f"pages-n{N}",
+    )
+    assert "routed" not in res2.stages_skipped  # recomputed
+    assert "parsed" in res2.stages_skipped  # upstream still trusted
+    assert res2.per_shard == result.per_shard
+    assert res2.band_counts == result.band_counts
+
+
 def test_manifests_written_with_data(result):
     for stage in ("parsed", "routed", "aggregate"):
         p = os.path.join(result.run_dir, stage, "_MANIFEST.json")

@@ -142,13 +142,67 @@ FROM documents
 """
 
 
+def q_wire_typed_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed nested sub-records: each page carries 1+doc_id%7 records of
+    type (doc_id+j)%5 — the Metric-oneof/MetricType analog (reference
+    metrics.go:154-246: DataPoints yields each body tagged with its type).
+    The parser extracts the per-record type tags; explode descends one
+    nesting level (the ResourceXxx/ScopeXxx iterator analog, SURVEY.md
+    §2.7); groupBy(type).count() is A2's per-type count."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    recs = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), d % 7),
+            lambda j: F.concat(
+                F.lit("<rec t="), ((d + j) % 5).cast("string"), F.lit(">x</rec>")
+            ),
+        ),
+        "",
+    )
+    html = F.encode(
+        F.concat(F.lit("<html><body>"), recs, F.lit("</body></html>")), "UTF-8"
+    )
+    s = F.expr("try_validate_utf8(html)")
+    types = F.regexp_extract_all(s, F.lit(r"<rec t=(\d)>"), F.lit(1))
+    return (
+        docs.withColumn("html", html)
+        .select(F.explode(types).alias("rec_type"))
+        .groupBy("rec_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("rec_type")
+    )
+
+
+SQL_WIRE_TYPED_RECORD_COUNTS = """
+SELECT ((doc_id + j) % 5)::VARCHAR AS rec_type, count(*) AS n
+FROM documents, unnest(range(0, doc_id % 7 + 1)) AS t(j)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) answered from parquet row-group metadata — the 'count
+    without materializing' analog (logs.go:134-153, zero-alloc counting;
+    SURVEY.md §4 aggregate pushdown)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+SQL_COUNT_PUSHDOWN = "SELECT count(*) AS n_rows FROM lineitem"
+
+
 QUERIES_WIRE = {
+    "wire_typed_record_counts": q_wire_typed_record_counts,
+    "count_pushdown": q_count_pushdown,
     "wire_record_counts": q_wire_record_counts,
     "wire_attr_resolution": q_wire_attr_resolution,
     "wire_quarantine_counts": q_wire_quarantine_counts,
 }
 
 ORACLES_WIRE = {
+    "wire_typed_record_counts": SQL_WIRE_TYPED_RECORD_COUNTS,
+    "count_pushdown": SQL_COUNT_PUSHDOWN,
     "wire_record_counts": SQL_WIRE_RECORD_COUNTS,
     "wire_attr_resolution": SQL_WIRE_ATTR_RESOLUTION,
     "wire_quarantine_counts": SQL_WIRE_QUARANTINE_COUNTS,

@@ -171,7 +171,7 @@ FROM events WHERE user_id < 50 GROUP BY 1 ORDER BY 1
 
 def q_kv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    k = F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("long")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
@@ -185,8 +185,8 @@ def q_kv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_KV_EXTRACT = r"""
 SELECT event_type,
-       sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT))::BIGINT AS k_sum,
-       count(CASE WHEN CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) > 50
+       sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))::BIGINT AS k_sum,
+       count(CASE WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) > 50
                   THEN 1 END) AS k_gt50
 FROM events GROUP BY 1 ORDER BY 1
 """

@@ -97,14 +97,14 @@ def q_wire_attr_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WIRE_ATTR_RESOLUTION = """
 SELECT doc_id,
-  'v' || (doc_id % 7)::VARCHAR AS first_k1,
+  'v' || (doc_id % 7)::STRING AS first_k1,
   CASE WHEN doc_id % 3 = 0 THEN 'dup'
-       ELSE 'v' || (doc_id % 7)::VARCHAR END AS last_k1,
-  'w' || (doc_id % 5)::VARCHAR AS k2,
+       ELSE 'v' || (doc_id % 7)::STRING END AS last_k1,
+  'w' || (doc_id % 5)::STRING AS k2,
   CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END::INT AS n_attrs,
   CASE WHEN doc_id % 3 = 0
-       THEN 'k1=v' || (doc_id % 7)::VARCHAR || ';k1=dup;k2=w' || (doc_id % 5)::VARCHAR
-       ELSE 'k1=v' || (doc_id % 7)::VARCHAR || ';k2=w' || (doc_id % 5)::VARCHAR
+       THEN 'k1=v' || (doc_id % 7)::STRING || ';k1=dup;k2=w' || (doc_id % 5)::STRING
+       ELSE 'k1=v' || (doc_id % 7)::STRING || ';k2=w' || (doc_id % 5)::STRING
   END AS merged,
   CASE WHEN doc_id % 13 = 0 THEN 'absent'
        WHEN doc_id % 17 = 0 THEN 'empty'
@@ -175,7 +175,7 @@ def q_wire_typed_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_WIRE_TYPED_RECORD_COUNTS = """
-SELECT ((doc_id + j) % 5)::VARCHAR AS rec_type, count(*) AS n
+SELECT ((doc_id + j) % 5)::STRING AS rec_type, count(*) AS n
 FROM documents, unnest(range(0, doc_id % 7 + 1)) AS t(j)
 GROUP BY 1 ORDER BY 1
 """

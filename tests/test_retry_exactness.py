@@ -2,61 +2,86 @@
 reference's count-conservation invariant (otlpwire_test.go:188-222;
 SURVEY.md §7 'Exactness under retries').
 
-A task in the sink-write stage is made to fail on its first attempt
-(local[4,2] allows one retry). The per-shard counters collected from that
-same job via Observation metrics must still match the pure-Python oracle
-EXACTLY — failed attempts must not double-count."""
+A task in the sink-write stage fails on its first attempt (local[4,2]
+allows one retry). The per-shard counters collected from that same job via
+Observation metrics must still match the pure-Python oracle EXACTLY —
+failed attempts must not double-count.
+
+Runs in a SUBPROCESS: maxFailures is a SparkContext property and
+getOrCreate() would otherwise reuse (and stopping would kill) the shared
+test session.
+"""
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
-import pytest
-from pyspark import TaskContext
-from pyspark.sql.types import IntegerType
+import json
+import os
+import subprocess
+import sys
+import textwrap
 
-from otlp_wire_spark.fixtures import oracle
-from otlp_wire_spark.fixtures.pages import generate_lookup, generate_pages
-from otlp_wire_spark.operators.counting import quarantine_split
-from otlp_wire_spark.operators.enrich import enrich, with_url_host
-from otlp_wire_spark.operators.parse import parse_pages
-from otlp_wire_spark.operators.route import route, write_sharded_with_manifest
-from otlp_wire_spark.session import get_spark
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-N = 2000
-NUM_SHARDS = 8
+_SCRIPT = textwrap.dedent(
+    """
+    import json, sys, tempfile
+    sys.path.insert(0, %(repo)r)
+    import pyspark.sql.functions as F
+    from pyspark import TaskContext
+    from pyspark.sql.types import IntegerType
+    from otlp_wire_spark.session import get_spark
+    from otlp_wire_spark.fixtures import oracle
+    from otlp_wire_spark.fixtures.pages import generate_lookup, generate_pages
+    from otlp_wire_spark.operators.counting import quarantine_split
+    from otlp_wire_spark.operators.enrich import enrich, with_url_host
+    from otlp_wire_spark.operators.parse import parse_pages
+    from otlp_wire_spark.operators.route import route, write_sharded_with_manifest
 
+    N, NUM_SHARDS = 2000, 8
+    spark = get_spark(app_name="retry-test", master="local[4,2]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
 
-@pytest.fixture(scope="module")
-def retry_spark():
-    # dedicated session: local[4,2] == 4 threads, maxFailures=2
-    s = get_spark(app_name="retry-tests", master="local[4,2]",
-                  shuffle_partitions=8)
-    yield s
-    s.stop()
+    marker = tempfile.mkdtemp() + "/fired"
 
+    @F.udf(IntegerType())
+    def flaky(x):
+        tc = TaskContext.get()
+        if tc is not None and tc.partitionId() == 0 and tc.attemptNumber() == 0:
+            open(marker, "w").write("fired")  # prove the failure happened
+            raise RuntimeError("injected first-attempt failure")
+        return x
 
-@F.udf(IntegerType())
-def _flaky_passthrough(x):
-    tc = TaskContext.get()
-    if tc is not None and tc.partitionId() == 0 and tc.attemptNumber() == 0:
-        raise RuntimeError("injected first-attempt failure")
-    return x
-
-
-def test_per_shard_counters_exact_under_task_retry(retry_spark, tmp_path):
-    pages = generate_pages(retry_spark, N)
-    parsed = parse_pages(pages)
-    clean, _ = quarantine_split(parsed)
-    enriched = enrich(with_url_host(clean), generate_lookup(retry_spark))
+    pages = generate_pages(spark, N)
+    clean, _ = quarantine_split(parse_pages(pages))
+    enriched = enrich(with_url_host(clean), generate_lookup(spark))
     routed = route(enriched, "url", NUM_SHARDS).withColumn(
-        "_flaky", _flaky_passthrough(F.lit(1))
-    )
-    per_shard = write_sharded_with_manifest(
-        routed, str(tmp_path / "data"), NUM_SHARDS
-    )
+        "_flaky", flaky(F.lit(1)))
+    out = tempfile.mkdtemp()
+    per_shard = write_sharded_with_manifest(routed, out + "/data", NUM_SHARDS)
+    rows = spark.read.parquet(out + "/data").count()
     want = oracle.expected_pipeline(N, NUM_SHARDS)["per_shard"]
-    assert per_shard == want  # no loss, no double count
+    import os as _os
+    print(json.dumps({
+        "match": per_shard == want,
+        "rows": rows,
+        "want_rows": sum(v["page_count"] for v in want.values()),
+        "failure_fired": _os.path.exists(marker),
+    }))
+    spark.stop()
+    """
+)
 
-    # and the committed sink rows themselves are exact
-    rows = retry_spark.read.parquet(str(tmp_path / "data")).count()
-    assert rows == sum(v["page_count"] for v in want.values())
+
+def test_per_shard_counters_exact_under_task_retry():
+    out = subprocess.run(
+        [sys.executable, "-c", _SCRIPT % {"repo": REPO}],
+        capture_output=True, text=True, timeout=420,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert lines, f"no result line; stderr tail: {out.stderr[-2000:]}"
+    res = json.loads(lines[-1])
+    assert res["match"] is True
+    assert res["rows"] == res["want_rows"]
+    # the injected failure must actually have fired (a retry happened)
+    assert res["failure_fired"] is True

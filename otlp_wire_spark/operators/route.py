@@ -89,7 +89,8 @@ def write_sharded_with_manifest(
     payload_col: str = "html",
     fmt: str = "parquet",
     mode: str = "overwrite",
-) -> dict[int, dict[str, int]]:
+    extra_metrics: dict[str, "F.Column"] | None = None,
+) -> dict[int, dict[str, int]] | tuple[dict[int, dict[str, int]], dict]:
     """Write per-shard sinks AND collect the exact per-shard counters from
     the SAME job via Observation metrics — no second scan of the sink.
 
@@ -105,7 +106,9 @@ def write_sharded_with_manifest(
     from pyspark.sql import Observation
 
     obs = Observation("shard_manifest")
-    exprs = []
+    exprs = (
+        [c.alias(n) for n, c in extra_metrics.items()] if extra_metrics else []
+    )
     shard = F.col("shard")
     rec = F.col("parsed.record_count")
     size = F.length(F.col(payload_col))
@@ -121,7 +124,7 @@ def write_sharded_with_manifest(
     observed = routed.observe(obs, *exprs)
     observed.write.format(fmt).mode(mode).partitionBy("shard").save(out_path)
     m = obs.get
-    return {
+    per_shard = {
         k: {
             "page_count": int(m[f"pages_{k}"] or 0),
             "record_count": int(m[f"records_{k}"] or 0),
@@ -129,6 +132,9 @@ def write_sharded_with_manifest(
         }
         for k in range(num_shards)
     }
+    if extra_metrics is not None:
+        return per_shard, {name: m[name] for name in extra_metrics}
+    return per_shard
 
 
 def shard_manifest(routed: DataFrame, payload_col: str = "html") -> DataFrame:

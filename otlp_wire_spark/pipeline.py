@@ -24,7 +24,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from otlp_wire_spark.operators.classify import band_histogram, context_stats
+from otlp_wire_spark.operators.classify import (
+    band_histogram,
+    context_stats,
+    severity_band_col,
+)
 from otlp_wire_spark.operators.counting import quarantine_split
 from otlp_wire_spark.operators.enrich import enrich, with_url_host
 from otlp_wire_spark.operators.parse import parse_pages
@@ -134,25 +138,49 @@ def run_pipeline(
             ),
         )
         routed = route(slim, route_key_col="url", num_shards=num_shards)
-        # Counters ride the write job itself (Observation metrics) — exact
-        # for the committed rows, zero extra scan (count-conservation
-        # contract, otlpwire_test.go:188-222; the parse stage runs exactly
-        # once and the sink is never re-read).
-        per_shard = write_sharded_with_manifest(
-            routed, sink_path, num_shards, fmt=sink_format
+        # ALL counters and aggregates ride the write job itself
+        # (Observation metrics) — exact for the committed rows, zero extra
+        # scan (count-conservation contract, otlpwire_test.go:188-222; the
+        # parse stage runs exactly once, the sink is never re-read).
+        band = severity_band_col(F.col("parsed.severity"))
+        extra = {
+            **{
+                f"band_{b}": F.sum(F.when(band == b, 1).otherwise(0))
+                for b in range(6)
+            },
+            "context_count": F.count("context"),
+            "context_bytes": F.coalesce(
+                F.sum(F.length("context")), F.lit(0)
+            ).cast("long"),
+        }
+        per_shard, extras = write_sharded_with_manifest(
+            routed, sink_path, num_shards, fmt=sink_format, extra_metrics=extra
         )
         _write_manifest(
             run_dir, "routed", fingerprint,
             per_shard={str(k): v for k, v in per_shard.items()},
+            aggregates={k: int(v or 0) for k, v in extras.items()},
         )
 
     # ---- stage: aggregate (band histogram + context stats) ---------------
-    sink = spark.read.parquet(sink_path)
-    bands = band_histogram(sink, severity_col="parsed.severity").collect()
-    band_counts = [0] * 6
-    for r in bands:
-        band_counts[int(r["band"])] = int(r["n"])
-    ctx = context_stats(sink).collect()[0]
+    routed_manifest = json.load(open(_manifest_path(run_dir, "routed")))
+    agg = routed_manifest.get("aggregates")
+    if agg is None:
+        # resumed from a pre-aggregates manifest: fall back to sink read
+        sink = spark.read.parquet(sink_path)
+        bands = band_histogram(sink, severity_col="parsed.severity").collect()
+        band_counts = [0] * 6
+        for r in bands:
+            band_counts[int(r["band"])] = int(r["n"])
+        ctx = context_stats(sink).collect()[0]
+        agg = {
+            **{f"band_{b}": band_counts[b] for b in range(6)},
+            "context_count": int(ctx["context_count"]),
+            "context_bytes": int(ctx["context_bytes"]),
+        }
+    band_counts = [int(agg[f"band_{b}"]) for b in range(6)]
+    ctx = {"context_count": int(agg["context_count"]),
+           "context_bytes": int(agg["context_bytes"])}
 
     total_pages = sum(v["page_count"] for v in per_shard.values()) + quarantined_n
     result = PipelineResult(

@@ -47,7 +47,10 @@ _SCRIPT = textwrap.dedent(
     @F.udf(IntegerType())
     def flaky(x):
         tc = TaskContext.get()
-        if tc is not None and tc.partitionId() == 0 and tc.attemptNumber() == 0:
+        # fail the FIRST attempt of every task in this stage (some shard
+        # hash buckets can be empty, so a single-partition trigger may
+        # never run); retries then recompute every partition once
+        if tc is not None and tc.attemptNumber() == 0:
             open(marker, "w").write("fired")  # prove the failure happened
             raise RuntimeError("injected first-attempt failure")
         return x

@@ -4,5 +4,7 @@ from otlp_wire_spark.functions.fnv import (  # noqa: F401
     fnv64a,
     fnv64a_numpy,
     fnv64a_col,
+    fnv64a_expr,
     shard_col,
+    shard_expr,
 )

@@ -31,7 +31,7 @@ from otlp_wire_spark.operators.classify import severity_band_col
 from otlp_wire_spark.operators.counting import quarantine_split
 from otlp_wire_spark.operators.enrich import enrich, with_url_host
 from otlp_wire_spark.operators.parse import parse_pages
-from otlp_wire_spark.operators.route import route, shard_manifest, write_sharded
+from otlp_wire_spark.operators.route import route, write_sharded_with_manifest
 
 
 def read_pages_stream(
@@ -56,25 +56,17 @@ def streaming_route(
     parsed = parse_pages(pages_stream)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
         clean, quarantined = quarantine_split(batch_df)
         n_quarantined = quarantined.count()
         enriched = enrich(with_url_host(clean), lookup)
         routed = route(enriched, route_key_col="url", num_shards=num_shards)
         epoch_path = os.path.join(out_dir, f"epoch={epoch_id}")
-        write_sharded(routed, epoch_path)
-        rows = shard_manifest(spark.read.parquet(epoch_path)).collect()
+        # counters observed during the epoch's write job (no sink re-read)
+        per_shard = write_sharded_with_manifest(routed, epoch_path, num_shards)
         manifest = {
             "epoch": epoch_id,
             "quarantined": n_quarantined,
-            "per_shard": {
-                str(int(r["shard"])): {
-                    "page_count": int(r["page_count"]),
-                    "record_count": int(r["record_count"]),
-                    "byte_count": int(r["byte_count"]),
-                }
-                for r in rows
-            },
+            "per_shard": {str(k): v for k, v in per_shard.items()},
         }
         tmp = os.path.join(out_dir, f"_manifest_epoch_{epoch_id}.json.tmp")
         final = os.path.join(out_dir, f"_manifest_epoch_{epoch_id}.json")

@@ -136,14 +136,29 @@ def minhash_lsh_candidates(
     bands: int = 4,
     n: int = 3,
     bucket_cap: int = 1000,
+    observation: "object | None" = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the k-row signature into ``bands`` bands,
     bucket by (band_idx, band_signature), emit pairs sharing ≥1 bucket.
 
-    Scale path: the only wide op is a groupBy on band keys; pathological
-    buckets (e.g. empty/boilerplate docs) are truncated at ``bucket_cap``
-    ids (logged upstream as a quality signal, not silently unbounded work).
+    Scale path: rows are capped to the ``bucket_cap`` lowest ids per bucket
+    BEFORE any aggregation — a window ``row_number() <= cap`` over
+    (band, band_sig), which sort-spills to disk on skewed buckets instead of
+    materializing the whole bucket in one reducer's agg buffer (a boilerplate
+    bucket with 10^7 ids would OOM a ``collect_list``-then-slice plan; the
+    window plan survives it). The groupBy that follows reuses the window's
+    hash partitioning (same keys — no second shuffle) and its collect_list
+    sees at most ``bucket_cap`` rows per bucket by construction.
+
+    Truncation is OBSERVED, not silent: pass a ``pyspark.sql.Observation``
+    as ``observation`` and the write/collect action yields
+    ``truncated_buckets`` (buckets that exceeded the cap) and
+    ``truncated_ids`` (ids dropped) — the coverage-loss signal a curation
+    pipeline must surface. Capped buckets diverge from the uncapped exact
+    oracle by design; size the cap so truncation only hits boilerplate.
     """
+    from pyspark.sql import Window
+
     r = k // bands
     sig = minhash_signature_col(F.col(text_col), k, n)
     banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
@@ -155,8 +170,19 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_sig"),
     )
-    buckets = banded.groupBy("band", "band_sig").agg(
-        F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap).alias("ids")
+    w = Window.partitionBy("band", "band_sig").orderBy("id")
+    ranked = banded.withColumn("_rn", F.row_number().over(w))
+    if observation is not None:
+        ranked = ranked.observe(
+            observation,
+            F.count(F.when(F.col("_rn") == bucket_cap + 1, 1)).alias(
+                "truncated_buckets"
+            ),
+            F.count(F.when(F.col("_rn") > bucket_cap, 1)).alias("truncated_ids"),
+        )
+    capped = ranked.where(F.col("_rn") <= bucket_cap).drop("_rn")
+    buckets = capped.groupBy("band", "band_sig").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
     ).where(F.size("ids") > 1)
     pairs = buckets.select(
         F.explode(

@@ -8,7 +8,7 @@ Scale notes:
 - lsh_ann buckets corpus and queries by sign-pattern of dot products with
   deterministic hyperplanes, then brute-forces only within buckets:
   candidates shrink ~2^-bits; recall measured against the exact kernel in
-  tests (tests/test_similarity.py).
+  tests (tests/test_ops.py — planted-duplicate + subset-of-exact).
 """
 
 from __future__ import annotations

@@ -147,6 +147,29 @@ def test_expr_path_is_pure_jvm(spark):
     assert "EvalPython" not in plan  # neither Batch- nor Arrow-
 
 
+def test_decode_fallback_is_per_failing_row_only():
+    """A 10k-row batch with 1 malformed row must NOT re-decode the whole
+    batch in Python — only the failing row (plus any legitimately-U+FFFD
+    rows) takes the per-element retry (VERDICT r1 item 6)."""
+    import pandas as pd
+
+    from otlp_wire_spark.operators import parse as parse_mod
+
+    rows = [f"<html><body>severity={i % 25};</body></html>".encode() for i in range(10_000)]
+    rows[1234] = b"\xff\xfe broken"
+    rows[77] = "ok � native replacement char".encode()  # valid, has U+FFFD
+    s = pd.Series(rows)
+    parse_mod.DECODE_STATS["slow_rows"] = 0
+    dec, err = parse_mod._decode_batch(s)
+    # exactness: the one bad row quarantined, everything else decoded
+    assert err[1234] == "utf8_decode_error" and dec[1234] is None
+    assert err.notna().sum() == 1
+    assert dec[77] == "ok � native replacement char"
+    assert dec[0] == "<html><body>severity=0;</body></html>"
+    # efficiency: per-row retry touched only the suspicious rows (2), not 10k
+    assert parse_mod.DECODE_STATS["slow_rows"] <= 2
+
+
 def test_plan_is_arrow_only(spark):
     """Allocation-gate analog (SURVEY.md §5): when Python IS used (arrow
     impl), the plan must use ArrowEvalPython (vectorized), never

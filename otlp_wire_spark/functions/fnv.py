@@ -102,29 +102,46 @@ FNV64_PRIME_SIGNED = 0x100000001B3  # fits in a positive int64
 
 
 def fnv64a_expr(col: Column | str) -> Column:
-    """Pure-JVM FNV-64a over an ASCII string column → LongType bit pattern.
+    """Pure-JVM FNV-64a over a string column → LongType bit pattern.
 
     The hot path: a codegen'd ``aggregate`` fold — no Python workers, no
     Arrow transfer. Requires ``spark.sql.ansi.enabled=false`` (set by
     session.get_spark) so the ``* prime`` wraps mod 2^64 exactly like the
     reference's uint64 arithmetic (stdlib hash/fnv, example_test.go:454-458).
 
-    ASCII-only: ``ascii()`` yields code points, which equal byte values only
-    for 7-bit input. Route keys here are URLs built from ASCII; for
-    arbitrary binary payloads use ``fnv64a_col`` (Arrow UDF) instead.
+    Byte-exact for ALL strings: pure-ASCII rows take the cheap
+    code-point fold (``ascii()`` == byte value for 7-bit input, gated
+    per-row by ``octet_length == length``); rows with multi-byte UTF-8 fall
+    to a hex-pair fold over ``hex(encode(c))`` — true byte values, still
+    pure JVM. A non-ASCII route key therefore shards identically to the
+    reference's byte-wise FNV-64a (and to fnv64a/fnv64a_numpy/fnv64a_col).
     Bit-exactness vs the pure-Python oracle is pinned by tests/test_fnv.py.
     """
     c = F.col(col) if isinstance(col, str) else col
-    folded = F.aggregate(
+    ascii_fold = F.aggregate(
         F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(FNV64_OFFSET_SIGNED).cast("long"),
+        lambda h, b: h.bitwiseXOR(b) * F.lit(FNV64_PRIME_SIGNED),
+    )
+    hx = F.hex(F.encode(c, "UTF-8"))
+    byte_fold = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), (F.length(hx) / F.lit(2)).cast("int")),
+            lambda i: F.conv(hx.substr(i * 2 - 1, F.lit(2)), 16, 10).cast("long"),
+        ),
         F.lit(FNV64_OFFSET_SIGNED).cast("long"),
         lambda h, b: h.bitwiseXOR(b) * F.lit(FNV64_PRIME_SIGNED),
     )
     # split('', '') yields [''] (one bogus element) — guard empty/NULL to
     # the offset basis, matching fnv64a(b'').
-    return F.when(
-        c.isNull() | (F.length(c) == 0), F.lit(FNV64_OFFSET_SIGNED).cast("long")
-    ).otherwise(folded)
+    return (
+        F.when(
+            c.isNull() | (F.length(c) == 0),
+            F.lit(FNV64_OFFSET_SIGNED).cast("long"),
+        )
+        .when(F.octet_length(c) == F.length(c), ascii_fold)
+        .otherwise(byte_fold)
+    )
 
 
 def shard_expr(col: Column | str, num_shards: int) -> Column:

@@ -98,6 +98,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def exact_dedup_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-rows variant of exact_dedup: returns the SURVIVING FULL ROWS
+    (min-id representative per byte-identical text), so a curation pipeline
+    can chain directly without a join-back. Single shuffle: ``min_by`` over
+    the whole row struct in one hash aggregate (map-side partial applies).
+    NULL texts group together (one representative), matching exact_dedup
+    and the SQL ``GROUP BY md5(text)`` NULL-grouping semantics."""
+    cols = df.columns
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_row"))
+        .select(*[F.col(f"_row.{c}").alias(c) for c in cols])
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -33,9 +33,10 @@ def with_shard(
     """shard = FNV-64a(route_key bytes) % N, uint64-space modulo
     (example_test.go:46-48; bit-exactness pinned by tests/test_fnv.py).
 
-    String route keys (URLs — ASCII by construction) take the pure-JVM
-    codegen path; binary keys take the Arrow-UDF path. Both are pinned
-    bit-identical."""
+    String route keys take the pure-JVM codegen path — byte-exact for any
+    UTF-8 content (ASCII rows use the cheap code-point fold, multi-byte rows
+    a hex-pair byte fold; see fnv64a_expr). Binary keys take the Arrow-UDF
+    path. All paths are pinned bit-identical."""
     if dict(df.dtypes).get(route_key_col) == "binary":
         return df.withColumn(
             "shard", shard_col(F.col(route_key_col), num_shards)

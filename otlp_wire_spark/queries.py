@@ -47,6 +47,22 @@ FNV_SQL = (
     "% 18446744073709551616::HUGEINT)"
 )
 
+# Pure-SQL FNV-64a over arbitrary BYTES, fed as a hex string ({hx} must be
+# an UPPERCASE even-length hex column/expression). Unlike FNV_SQL (which
+# hashes code points and therefore only matches byte-wise FNV on ASCII),
+# this folds true byte values parsed from hex pairs — the oracle for binary
+# payloads (multimodal) and non-ASCII strings. Verified bit-identical to
+# functions/fnv.py on the reconstructed media payloads.
+FNV_BYTES_SQL = (
+    "list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+    "list_transform(range(1, length({hx})//2 + 1), "
+    "__fnvb_i -> ((strpos('0123456789ABCDEF', {hx}[2*__fnvb_i-1:2*__fnvb_i-1])-1)*16 "
+    "+ (strpos('0123456789ABCDEF', {hx}[2*__fnvb_i:2*__fnvb_i])-1))::HUGEINT)), "
+    "(__fnv_h, __fnv_b) -> "
+    "(xor(__fnv_h::UBIGINT, __fnv_b::UBIGINT)::HUGEINT * 1099511628211) "
+    "% 18446744073709551616::HUGEINT)"
+)
+
 
 # --------------------------------------------------------------------------
 # A6 — severity-band histogram (benchmark_comparison_test.go:419-434)

@@ -44,6 +44,27 @@ def _sql_shingle_hashes() -> str:
 # token counting
 # --------------------------------------------------------------------------
 
+def q_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the SURVIVING rows of exact_dedup_rows — pins that the
+    keep-rows variant returns exactly the min-id representative row (with
+    all its columns intact) per byte-identical text."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup_rows(docs, "text", "doc_id")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+    )
+
+
+SQL_DEDUP_ROWS = """
+SELECT count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum,
+       sum(n_chars)::BIGINT AS chars_sum
+FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -315,7 +336,12 @@ FROM events GROUP BY 1 ORDER BY 1
 
 
 # --------------------------------------------------------------------------
-# multimodal plumbing (rows-only: decode stub is Python-side by design)
+# multimodal plumbing — FULLY oracled (VERDICT r1 item 1): payload bytes are
+# a pure function of media_id (multimodal.generate_media), so DuckDB
+# reconstructs the payload as a hex string from range(0,2000) and recomputes
+# byte_count / FNV-64a payload_fingerprint / decode_error in pure SQL. Only
+# the `feature` vector (the decode stub's output) is excluded from the
+# compare — it is Python-side by design.
 # --------------------------------------------------------------------------
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,6 +352,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media).select(
         "media_id", "kind", "byte_count", "payload_fingerprint", "decode_error"
     ).orderBy("media_id")
+
+
+from otlp_wire_spark.queries import FNV_BYTES_SQL
+
+# payload hex mirror of multimodal.generate_media: 'IMG'||id ASCII prefix +
+# 8 big-endian bytes of id*2654435761; empty payload every 47th id.
+_MEDIA_HX = (
+    "CASE WHEN media_id % 47 = 0 THEN '' "
+    "ELSE upper(hex(encode('IMG' || media_id::VARCHAR))) "
+    "|| lpad(hex(media_id * 2654435761), 16, '0') END"
+)
+SQL_MULTIMODAL_FEATURES = f"""
+WITH m AS (
+  SELECT range AS media_id, {_MEDIA_HX.replace("media_id", "range")} AS hx
+  FROM range(0, 2000)
+), h AS (
+  SELECT media_id, hx, {FNV_BYTES_SQL.format(hx="hx")} AS fp_u64 FROM m
+)
+SELECT media_id,
+  CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  (length(hx) // 2)::BIGINT AS byte_count,
+  CASE WHEN fp_u64 >= 9223372036854775808::HUGEINT
+       THEN (fp_u64 - 18446744073709551616::HUGEINT)::BIGINT
+       ELSE fp_u64::BIGINT END AS payload_fingerprint,
+  CASE WHEN media_id % 47 = 0 THEN 'decode_error:empty payload' END
+    AS decode_error
+FROM h ORDER BY media_id
+"""
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,6 +409,7 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 
 
 QUERIES_EXT = {
+    "dedup_rows": q_dedup_rows,
     "rolling_fingerprint": q_rolling_fingerprint,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -368,6 +424,7 @@ QUERIES_EXT = {
 }
 
 ORACLES_EXT = {
+    "dedup_rows": SQL_DEDUP_ROWS,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "token_stats": SQL_TOKEN_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
@@ -378,5 +435,5 @@ ORACLES_EXT = {
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "salted_group_counts": SQL_SALTED_GROUP_COUNTS,
-    # multimodal_features: intentionally no oracle (rows-only check)
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

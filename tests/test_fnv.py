@@ -99,6 +99,27 @@ def test_jvm_expr_matches_pure_incl_non_pow2_shards(spark):
 
 
 @pytest.mark.usefixtures("spark")
+def test_jvm_expr_byte_exact_on_non_ascii(spark):
+    """A non-ASCII route key must hash (and shard) byte-wise, identical to
+    the reference's FNV-64a over UTF-8 bytes — the ADVICE r1 hazard where
+    the code-point fold silently diverged on multi-byte input."""
+    keys = ["héllo", "café 中文", "πράγμα", "naïve—dash", "🚀rocket", "¡hola!",
+            "mixed ascii and ü", "ÿĀ"]
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    out = df.select(
+        "k",
+        fnv64a_expr("k").alias("h"),
+        shard_expr("k", 8).alias("s8"),
+        shard_expr("k", 7).alias("s7"),
+    ).collect()
+    for r in out:
+        want = fnv64a(r["k"].encode("utf-8"))
+        assert r["h"] == np.uint64(want).astype(np.int64), r["k"]
+        assert r["s8"] == want % 8, r["k"]
+        assert r["s7"] == want % 7, r["k"]
+
+
+@pytest.mark.usefixtures("spark")
 def test_jvm_expr_plan_has_no_python(spark):
     from pyspark.sql import functions as F
 

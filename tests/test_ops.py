@@ -28,6 +28,21 @@ def test_exact_dedup_keeps_min_id(spark):
     assert out == {1: 3, 2: 2, 3: 1}
 
 
+def test_exact_dedup_rows_returns_full_surviving_rows(spark):
+    """Keep-rows variant: min-id representative per identical text, with
+    every original column intact — usable directly in a curation pipeline
+    (VERDICT r1 item 8)."""
+    df = spark.createDataFrame(
+        [(1, "aa", "x1"), (2, "bb", "x2"), (5, "aa", "x5"),
+         (9, "aa", "x9"), (7, "bb", "x7"), (3, None, "x3"), (8, None, "x8")],
+        "doc_id long, text string, extra string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.exact_dedup_rows(df).collect()}
+    assert set(rows) == {1, 2, 3}  # min-id per group; NULLs group together
+    assert rows[1]["extra"] == "x1" and rows[2]["extra"] == "x2"
+    assert rows[3]["text"] is None and rows[3]["extra"] == "x3"
+
+
 def test_minhash_lsh_recall_on_planted_near_dups(spark):
     """Every pair with Jaccard ≥ 0.95 must appear in the LSH candidates
     (16 hashes / 4 bands: miss probability < 1e-5 at j=0.95)."""

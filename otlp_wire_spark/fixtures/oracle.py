@@ -29,6 +29,9 @@ _SEVTEXT_RE = re.compile(r"severity_text=([^;]*);")
 _KV_RE = re.compile(r"kv:([^=;]*)=([^;]*);")
 _REC_RE = re.compile(r"<rec>.*?</rec>")
 _TEXT_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+_TRACE_RE = re.compile(r"trace_id=([^;]*);")
+_TRACE_OK_RE = re.compile(r"[0-9a-f]{32}\Z")
+_REF_RE = re.compile(r"ref:([^;]*);")
 
 
 # ---------------------------------------------------------------- generation
@@ -84,6 +87,25 @@ def html(i: int) -> bytes:
     if i % 3 == 0:
         parts.append("kv:k1=dup;")
     parts.append(f"kv:k2=w{i % 5};")
+    tval = format(i * 9973 + 7, "x")
+    if i % 7 == 3:
+        pass  # trace_id absent
+    elif i % 23 == 0:
+        parts.append("trace_id=;")  # empty → absent
+    elif i % 31 == 0:
+        parts.append(f"trace_id={tval.zfill(31)};")  # wrong length
+    elif i % 37 == 0:
+        parts.append(f"trace_id=zz{tval.zfill(30)};")  # non-hex
+    else:
+        parts.append(f"trace_id={tval.zfill(32)};")  # valid
+    if i % 19 == 0:
+        pass  # ref absent
+    elif i % 41 == 0:
+        parts.append(f"ref:cat{i % 13},id{i % 29},s{i % 3};")  # 3 fields
+    elif i % 43 == 0:
+        parts.append(f"ref:,id{i % 29},s{i % 3},d{i % 5};")  # empty type
+    else:
+        parts.append(f"ref:cat{i % 13},id{i % 29},s{i % 3},d{i % 5};")
     for j in range((i % 10) + 1):
         parts.append(f"<rec>r{j}</rec>")
     t = text(i)
@@ -103,6 +125,11 @@ class Extracted:
     record_count: int
     extracted_text: str | None
     parse_error: str | None
+    trace_id: str | None = None  # 32-hex valid id; None=absent/invalid
+    trace_error: str | None = None  # 'invalid_trace_id' on wrong shape
+    ref_type: str | None = None  # EntityRef-analog: valid 4-field ref only
+    ref_id: str | None = None
+    ref_error: str | None = None  # 'invalid_ref' on structural failure
 
 
 def extract(html_bytes: bytes | None) -> Extracted:
@@ -121,7 +148,30 @@ def extract(html_bytes: bytes | None) -> Extracted:
     record_count = len(_REC_RE.findall(s))
     m = _TEXT_RE.search(s)  # first match (extractBytesField semantics)
     extracted_text = m.group(1) if m else None
-    return Extracted(severity, severity_text, attrs, record_count, extracted_text, None)
+    # fixed-width validated ID (traces.go:90-124): last-wins, ''→absent,
+    # wrong shape→field error
+    traces = _TRACE_RE.findall(s)
+    traw = traces[-1] if traces else None
+    trace_id = traw if traw is not None and _TRACE_OK_RE.match(traw) else None
+    trace_error = (
+        "invalid_trace_id"
+        if traw is not None and traw != "" and not _TRACE_OK_RE.match(traw)
+        else None
+    )
+    # EntityRef structural validation (attributes.go:410-438): first match,
+    # exactly 4 comma-fields, non-empty type+id
+    rm = _REF_RE.search(s)
+    ref_type = ref_id = ref_error = None
+    if rm is not None:
+        parts = rm.group(1).split(",")
+        if len(parts) == 4 and parts[0] and parts[1]:
+            ref_type, ref_id = parts[0], parts[1]
+        else:
+            ref_error = "invalid_ref"
+    return Extracted(
+        severity, severity_text, attrs, record_count, extracted_text, None,
+        trace_id, trace_error, ref_type, ref_id, ref_error,
+    )
 
 
 def attr_lookup(attrs: list[tuple[str, str]], key: str) -> str | None:

@@ -97,6 +97,51 @@ def _html_str(idc: Column) -> Column:
         F.when(idc % 3 == 0, F.lit("kv:k1=dup;")).otherwise(F.lit("")),
         F.concat(F.lit("kv:k2=w"), (idc % 5).cast("string"), F.lit(";")),
     )
+    # fixed-width validated ID marker (P5 analog): valid 32-hex / empty /
+    # wrong-length / non-hex / absent — mirrored in oracle.html
+    tval = F.lower(F.hex(idc * 9973 + 7))
+    trace_marker = (
+        F.when(idc % 7 == 3, F.lit(""))  # absent
+        .when(idc % 23 == 0, F.lit("trace_id=;"))  # empty → absent
+        .when(
+            idc % 31 == 0,
+            F.concat(F.lit("trace_id="), F.lpad(tval, 31, "0"), F.lit(";")),
+        )  # wrong length → invalid
+        .when(
+            idc % 37 == 0,
+            F.concat(F.lit("trace_id=zz"), F.lpad(tval, 30, "0"), F.lit(";")),
+        )  # non-hex → invalid
+        .otherwise(
+            F.concat(F.lit("trace_id="), F.lpad(tval, 32, "0"), F.lit(";"))
+        )
+    )
+    # EntityRef-analog structural marker (P14): 4 comma-fields, type+id
+    # required non-empty; malformed variants planted — mirrored in oracle
+    ref_body = F.concat(
+        F.lit("cat"), (idc % 13).cast("string"),
+        F.lit(",id"), (idc % 29).cast("string"),
+        F.lit(",s"), (idc % 3).cast("string"),
+    )
+    ref_marker = (
+        F.when(idc % 19 == 0, F.lit(""))  # absent
+        .when(
+            idc % 41 == 0, F.concat(F.lit("ref:"), ref_body, F.lit(";"))
+        )  # 3 fields → invalid
+        .when(
+            idc % 43 == 0,
+            F.concat(
+                F.lit("ref:,id"), (idc % 29).cast("string"),
+                F.lit(",s"), (idc % 3).cast("string"),
+                F.lit(",d"), (idc % 5).cast("string"), F.lit(";"),
+            ),
+        )  # empty type → invalid
+        .otherwise(
+            F.concat(
+                F.lit("ref:"), ref_body,
+                F.lit(",d"), (idc % 5).cast("string"), F.lit(";"),
+            )
+        )
+    )
     nrec = (idc % 10) + 1
     recs = F.array_join(
         F.transform(
@@ -114,6 +159,8 @@ def _html_str(idc: Column) -> Column:
         sev_marker,
         sevtext_marker,
         kv_marker,
+        trace_marker,
+        ref_marker,
         recs,
         text_block,
         F.lit("</body></html>"),

@@ -41,6 +41,23 @@ _SEVTEXT_RE = re.compile(r"severity_text=([^;]*);")
 _KV_RE = re.compile(r"kv:([^=;]*)=([^;]*);")
 _REC_RE = re.compile(r"<rec>.*?</rec>")
 _TEXT_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+_TRACE_RE = re.compile(r"trace_id=([^;]*);")
+_TRACE_OK_RE = re.compile(r"[0-9a-f]{32}\Z")
+_REF_RE = re.compile(r"ref:([^;]*);")
+
+# trace_id — the fixed-width validated ID analog (reference traces.go:90-124,
+# logs.go:249-264: a TraceID must be exactly 16 bytes; wrong size is a
+# field-level error, empty means absent). Here: exactly 32 lowercase hex
+# chars → value; empty → absent (NULL, no error); anything else present →
+# trace_id NULL + trace_error='invalid_trace_id'. Last occurrence wins
+# (singular-field semantics, like severity).
+#
+# ref — the EntityRef structural-validation analog (attributes.go:410-438:
+# a 4-string-field sub-message where type and id must be non-empty).
+# Here: first `ref:<t>,<i>,<s>,<d>;` marker; exactly 4 comma-separated
+# fields AND non-empty t,i → (ref_type, ref_id); structurally malformed →
+# ref_error='invalid_ref' (field-level, NOT row quarantine — encoding
+# errors quarantine the row, structure errors quarantine the field).
 
 PARSED_SCHEMA = T.StructType(
     [
@@ -59,6 +76,11 @@ PARSED_SCHEMA = T.StructType(
         ),
         T.StructField("record_count", T.IntegerType()),
         T.StructField("extracted_text", T.StringType()),
+        T.StructField("trace_id", T.StringType()),
+        T.StructField("trace_error", T.StringType()),
+        T.StructField("ref_type", T.StringType()),
+        T.StructField("ref_id", T.StringType()),
+        T.StructField("ref_error", T.StringType()),
         T.StructField("parse_error", T.StringType()),
     ]
 )
@@ -124,12 +146,43 @@ def _extract_frame(html: pd.Series) -> pd.DataFrame:
     record_count = ok.str.findall(_REC_RE).map(len)
     first_p = ok.str.extract(_TEXT_RE, expand=False)
 
+    # fixed-width validated ID: last-wins, empty→absent, wrong shape→error
+    traw = ok.str.findall(_TRACE_RE).map(lambda xs: xs[-1] if xs else None)
+    trace_id = traw.map(
+        lambda v: v if v is not None and _TRACE_OK_RE.match(v) else None
+    )
+    trace_error = traw.map(
+        lambda v: "invalid_trace_id"
+        if v is not None and v != "" and not _TRACE_OK_RE.match(v)
+        else None
+    )
+
+    # EntityRef structural validation: first match, 4 fields, t/i non-empty
+    def _ref(v: object) -> tuple[str | None, str | None, str | None]:
+        if not isinstance(v, str):
+            return (None, None, None)
+        parts = v.split(",")
+        if len(parts) == 4 and parts[0] and parts[1]:
+            return (parts[0], parts[1], None)
+        return (None, None, "invalid_ref")
+
+    rraw = ok.str.extract(_REF_RE, expand=False)
+    refs = rraw.map(_ref)
+    ref_type = refs.map(lambda t: t[0])
+    ref_id = refs.map(lambda t: t[1])
+    ref_error = refs.map(lambda t: t[2])
+
     bad = err.notna()
     severity = severity.mask(bad, None)
     severity_text = severity_text.mask(bad, None)
     attrs = attrs.mask(bad, None)
     record_count = record_count.mask(bad, None)
     first_p = first_p.mask(bad, None)
+    trace_id = trace_id.mask(bad, None)
+    trace_error = trace_error.mask(bad, None)
+    ref_type = ref_type.mask(bad, None)
+    ref_id = ref_id.mask(bad, None)
+    ref_error = ref_error.mask(bad, None)
 
     return pd.DataFrame(
         {
@@ -138,6 +191,11 @@ def _extract_frame(html: pd.Series) -> pd.DataFrame:
             "attrs": attrs,
             "record_count": record_count.astype(object),
             "extracted_text": first_p.astype(object),
+            "trace_id": trace_id.astype(object),
+            "trace_error": trace_error.astype(object),
+            "ref_type": ref_type.astype(object),
+            "ref_id": ref_id.astype(object),
+            "ref_error": ref_error.astype(object),
             "parse_error": err,
         }
     )
@@ -180,6 +238,30 @@ def parse_pages_expr(df: DataFrame, html_col: str = "html") -> DataFrame:
     extracted_text = F.try_element_at(
         F.regexp_extract_all(s, F.lit(r"(?s)<p>(.*?)</p>"), F.lit(1)), F.lit(1)
     )
+    # trace_id: last-wins; exactly 32 lowercase hex → valid, '' → absent,
+    # anything else → field-level error (traces.go:90-124 analog)
+    traw = F.try_element_at(
+        F.regexp_extract_all(s, F.lit(r"trace_id=([^;]*);"), F.lit(1)), F.lit(-1)
+    )
+    # \z (strict end) not $ — Java's $ matches before a trailing newline,
+    # Python's \Z (the oracle anchor) does not; [^;]* can capture \n
+    t_ok = traw.rlike(r"^[0-9a-f]{32}\z")
+    trace_id = F.when(t_ok, traw)
+    trace_error = F.when(
+        traw.isNotNull() & (traw != "") & ~t_ok, F.lit("invalid_trace_id")
+    )
+    # ref: first match; 4 comma-fields with non-empty type+id
+    # (attributes.go:410-438 analog)
+    rraw = F.try_element_at(
+        F.regexp_extract_all(s, F.lit(r"ref:([^;]*);"), F.lit(1)), F.lit(1)
+    )
+    parts = F.split(rraw, ",", -1)
+    p1 = F.try_element_at(parts, F.lit(1))
+    p2 = F.try_element_at(parts, F.lit(2))
+    r_ok = (F.size(parts) == 4) & (p1 != "") & (p2 != "")
+    ref_type = F.when(rraw.isNotNull() & r_ok, p1)
+    ref_id = F.when(rraw.isNotNull() & r_ok, p2)
+    ref_error = F.when(rraw.isNotNull() & ~r_ok, F.lit("invalid_ref"))
     ok = err.isNull()
     parsed = F.struct(
         F.when(ok, severity).alias("severity"),
@@ -187,6 +269,11 @@ def parse_pages_expr(df: DataFrame, html_col: str = "html") -> DataFrame:
         F.when(ok, attrs).alias("attrs"),
         F.when(ok, record_count).alias("record_count"),
         F.when(ok, extracted_text).alias("extracted_text"),
+        F.when(ok, trace_id).alias("trace_id"),
+        F.when(ok, trace_error).alias("trace_error"),
+        F.when(ok, ref_type).alias("ref_type"),
+        F.when(ok, ref_id).alias("ref_id"),
+        F.when(ok, ref_error).alias("ref_error"),
         err.alias("parse_error"),
     )
     return df.withColumn("parsed", parsed)
@@ -201,6 +288,82 @@ def parse_pages(df: DataFrame, html_col: str = "html", impl: str = "expr") -> Da
     if impl == "expr":
         return parse_pages_expr(df, html_col)
     return df.withColumn("parsed", parse_page_udf(F.col(html_col)))
+
+
+# ---------------------------------------------------------------------------
+# I8 — type-DEPENDENT attribute field resolution (reference metrics.go:17-53:
+# the DataPoint attributes field NUMBER depends on the metric body type —
+# histogram→field 9, exponential-histogram→field 1, everything else→field 7 —
+# and downstream consumers see ONE uniform attrs view). Analog grammar:
+# ``<rec t=N>f1=..;f7=..;f9=..;</rec>`` where the rec's attr payload lives in
+# f9 when t=2, f1 when t=3, f7 otherwise; both parser implementations
+# normalize to a uniform array<struct<rec_type,attr>>.
+# ---------------------------------------------------------------------------
+
+TYPED_RECS_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("rec_type", T.IntegerType()),
+            T.StructField("attr", T.StringType()),
+        ]
+    )
+)
+
+ATTR_FIELD_BY_TYPE = {2: 9, 3: 1}  # default 7 — mirrors metrics.go:17-53
+
+_TREC_FULL_RE = re.compile(r"<rec t=\d>.*?</rec>")
+_TREC_T_RE = re.compile(r"<rec t=(\d)>")
+_TREC_F_RES = {
+    1: re.compile(r"f1=([^;]*);"),
+    7: re.compile(r"f7=([^;]*);"),
+    9: re.compile(r"f9=([^;]*);"),
+}
+
+
+def _typed_recs_of(s: str) -> list[dict]:
+    out = []
+    for rec in _TREC_FULL_RE.findall(s):
+        t = int(_TREC_T_RE.match(rec).group(1))
+        m = _TREC_F_RES[ATTR_FIELD_BY_TYPE.get(t, 7)].search(rec)
+        # missing selected field → '' (mirror of regexp_extract's no-match)
+        out.append({"rec_type": t, "attr": m.group(1) if m else ""})
+    return out
+
+
+@F.pandas_udf(TYPED_RECS_SCHEMA)
+def typed_recs_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for html in it:
+        dec, err = _decode_batch(html)
+        recs = dec.fillna("").map(_typed_recs_of)
+        yield recs.mask(err.notna(), None)
+
+
+def typed_recs_expr(s: Column) -> Column:
+    recs = F.regexp_extract_all(s, F.lit(r"<rec t=\d>.*?</rec>"), F.lit(0))
+
+    def one(r: Column) -> Column:
+        t = F.regexp_extract(r, r"<rec t=(\d)>", 1).cast("int")
+        f1 = F.regexp_extract(r, r"f1=([^;]*);", 1)
+        f7 = F.regexp_extract(r, r"f7=([^;]*);", 1)
+        f9 = F.regexp_extract(r, r"f9=([^;]*);", 1)
+        attr = F.when(t == 2, f9).when(t == 3, f1).otherwise(f7)
+        return F.struct(t.alias("rec_type"), attr.alias("attr"))
+
+    return F.transform(recs, one)
+
+
+def parse_typed_records(
+    df: DataFrame, html_col: str = "html", impl: str = "expr"
+) -> DataFrame:
+    """Attach ``typed_recs`` — the uniform attrs view over type-dependent
+    field locations. NULL on undecodable payloads (same quarantine contract
+    as the main parse). Two impls, parity-pinned like parse_pages."""
+    if impl == "expr":
+        s = F.expr(f"try_validate_utf8({html_col})")
+        return df.withColumn(
+            "typed_recs", F.when(s.isNotNull(), typed_recs_expr(s))
+        )
+    return df.withColumn("typed_recs", typed_recs_udf(F.col(html_col)))
 
 
 def attr_first_value(attrs_col: Column, key: str) -> Column:

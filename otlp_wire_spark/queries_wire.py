@@ -22,6 +22,7 @@ from otlp_wire_spark.operators.parse import (
     attr_last_value,
     attrs_merged,
     parse_pages,
+    parse_typed_records,
 )
 from otlp_wire_spark.queries import _t
 
@@ -181,6 +182,150 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_wire_trace_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — fixed-width validated ID extraction through the REAL parser
+    (arrow impl): exactly-32-lowercase-hex → value, empty → absent,
+    wrong-length/non-hex → field-level error (reference traces.go:90-124,
+    logs.go:249-264: wrong-size ID is an error, empty is absent). The
+    DuckDB oracle recomputes every state arithmetically from doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    tval = F.lower(F.hex(d * 9973 + 7))
+    marker = (
+        F.when(d % 7 == 3, F.lit(""))
+        .when(d % 23 == 0, F.lit("trace_id=;"))
+        .when(d % 31 == 0, F.concat(F.lit("trace_id="), F.lpad(tval, 31, "0"), F.lit(";")))
+        .when(d % 37 == 0, F.concat(F.lit("trace_id=zz"), F.lpad(tval, 30, "0"), F.lit(";")))
+        .otherwise(F.concat(F.lit("trace_id="), F.lpad(tval, 32, "0"), F.lit(";")))
+    )
+    html = F.encode(
+        F.concat(F.lit("<html><body>"), marker, F.lit("</body></html>")), "UTF-8"
+    )
+    parsed = parse_pages(docs.withColumn("html", html), impl="arrow")
+    tid = F.col("parsed.trace_id")
+    terr = F.col("parsed.trace_error")
+    return parsed.select(
+        "doc_id",
+        tid.alias("trace_id"),
+        terr.alias("trace_error"),
+        F.when(tid.isNotNull(), F.lit("valid"))
+        .when(terr.isNotNull(), F.lit("invalid"))
+        .otherwise(F.lit("absent"))
+        .alias("trace_state"),
+    ).orderBy("doc_id")
+
+
+SQL_WIRE_TRACE_VALIDATION = """
+SELECT doc_id,
+  CASE WHEN doc_id % 7 != 3 AND doc_id % 23 != 0 AND doc_id % 31 != 0
+            AND doc_id % 37 != 0
+       THEN lower(lpad(hex(doc_id * 9973 + 7), 32, '0')) END AS trace_id,
+  CASE WHEN doc_id % 7 != 3 AND doc_id % 23 != 0
+            AND (doc_id % 31 = 0 OR doc_id % 37 = 0)
+       THEN 'invalid_trace_id' END AS trace_error,
+  CASE WHEN doc_id % 7 = 3 OR doc_id % 23 = 0 THEN 'absent'
+       WHEN doc_id % 31 = 0 OR doc_id % 37 = 0 THEN 'invalid'
+       ELSE 'valid' END AS trace_state
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_wire_ref_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 — EntityRef-style structural validation through the REAL parser
+    (expr impl): a 4-comma-field sub-message with non-empty type+id is
+    valid; 3 fields or empty type → field-level 'invalid_ref' (reference
+    attributes.go:410-438 — structure errors, not encoding errors)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    body = F.concat(
+        F.lit("cat"), (d % 13).cast("string"),
+        F.lit(",id"), (d % 29).cast("string"),
+        F.lit(",s"), (d % 3).cast("string"),
+    )
+    marker = (
+        F.when(d % 19 == 0, F.lit(""))
+        .when(d % 41 == 0, F.concat(F.lit("ref:"), body, F.lit(";")))
+        .when(
+            d % 43 == 0,
+            F.concat(
+                F.lit("ref:,id"), (d % 29).cast("string"),
+                F.lit(",s"), (d % 3).cast("string"),
+                F.lit(",d"), (d % 5).cast("string"), F.lit(";"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("ref:"), body, F.lit(",d"), (d % 5).cast("string"), F.lit(";"))
+        )
+    )
+    html = F.encode(
+        F.concat(F.lit("<html><body>"), marker, F.lit("</body></html>")), "UTF-8"
+    )
+    parsed = parse_pages(docs.withColumn("html", html), impl="expr")
+    return parsed.select(
+        "doc_id",
+        F.col("parsed.ref_type").alias("ref_type"),
+        F.col("parsed.ref_id").alias("ref_id"),
+        F.col("parsed.ref_error").alias("ref_error"),
+    ).orderBy("doc_id")
+
+
+SQL_WIRE_REF_VALIDATION = """
+SELECT doc_id,
+  CASE WHEN doc_id % 19 != 0 AND doc_id % 41 != 0 AND doc_id % 43 != 0
+       THEN 'cat' || (doc_id % 13)::STRING END AS ref_type,
+  CASE WHEN doc_id % 19 != 0 AND doc_id % 41 != 0 AND doc_id % 43 != 0
+       THEN 'id' || (doc_id % 29)::STRING END AS ref_id,
+  CASE WHEN doc_id % 19 != 0 AND (doc_id % 41 = 0 OR doc_id % 43 = 0)
+       THEN 'invalid_ref' END AS ref_error
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_wire_typed_attr_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8 — type-DEPENDENT attribute field location (metrics.go:17-53): each
+    page carries 1+doc_id%7 recs ``<rec t=T>f1=..;f7=..;f9=..;</rec>`` whose
+    attr payload lives in f9 (t=2), f1 (t=3) or f7 (else); the parser
+    normalizes to a uniform (rec_type, attr) view and the DuckDB oracle
+    recomputes the selection arithmetically via lateral unnest."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    recs = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), d % 7),
+            lambda j: F.concat(
+                F.lit("<rec t="), ((d + j) % 5).cast("string"),
+                F.lit(">f1=a"), ((d + 2 * j) % 11).cast("string"),
+                F.lit(";f7=b"), ((d * 3 + j) % 13).cast("string"),
+                F.lit(";f9=c"), ((d + 5 * j) % 17).cast("string"),
+                F.lit(";</rec>"),
+            ),
+        ),
+        "",
+    )
+    html = F.encode(
+        F.concat(F.lit("<html><body>"), recs, F.lit("</body></html>")), "UTF-8"
+    )
+    typed = parse_typed_records(docs.withColumn("html", html), impl="expr")
+    return (
+        typed.select(F.explode("typed_recs").alias("r"))
+        .groupBy(F.col("r.rec_type").alias("rec_type"), F.col("r.attr").alias("attr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("rec_type", "attr")
+    )
+
+
+SQL_WIRE_TYPED_ATTR_RESOLUTION = """
+SELECT ((doc_id + j) % 5)::INT AS rec_type,
+  CASE ((doc_id + j) % 5)
+    WHEN 2 THEN 'c' || ((doc_id + 5*j) % 17)::STRING
+    WHEN 3 THEN 'a' || ((doc_id + 2*j) % 11)::STRING
+    ELSE 'b' || ((doc_id*3 + j) % 13)::STRING END AS attr,
+  count(*) AS n
+FROM documents, unnest(range(0, doc_id % 7 + 1)) AS t(j)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(*) answered from parquet row-group metadata — the 'count
     without materializing' analog (logs.go:134-153, zero-alloc counting;
@@ -198,6 +343,9 @@ QUERIES_WIRE = {
     "wire_record_counts": q_wire_record_counts,
     "wire_attr_resolution": q_wire_attr_resolution,
     "wire_quarantine_counts": q_wire_quarantine_counts,
+    "wire_trace_validation": q_wire_trace_validation,
+    "wire_ref_validation": q_wire_ref_validation,
+    "wire_typed_attr_resolution": q_wire_typed_attr_resolution,
 }
 
 ORACLES_WIRE = {
@@ -206,4 +354,7 @@ ORACLES_WIRE = {
     "wire_record_counts": SQL_WIRE_RECORD_COUNTS,
     "wire_attr_resolution": SQL_WIRE_ATTR_RESOLUTION,
     "wire_quarantine_counts": SQL_WIRE_QUARANTINE_COUNTS,
+    "wire_trace_validation": SQL_WIRE_TRACE_VALIDATION,
+    "wire_ref_validation": SQL_WIRE_REF_VALIDATION,
+    "wire_typed_attr_resolution": SQL_WIRE_TYPED_ATTR_RESOLUTION,
 }

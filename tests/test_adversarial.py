@@ -12,11 +12,18 @@ import pytest
 from hypothesis import given, settings, strategies as st
 
 from otlp_wire_spark.fixtures import oracle
-from otlp_wire_spark.operators.parse import parse_pages
+from otlp_wire_spark.operators.parse import (
+    _typed_recs_of,
+    parse_pages,
+    parse_typed_records,
+)
 
 PARSED_COLS = [
     "parsed.severity", "parsed.severity_text", "parsed.attrs",
-    "parsed.record_count", "parsed.extracted_text", "parsed.parse_error",
+    "parsed.record_count", "parsed.extracted_text",
+    "parsed.trace_id", "parsed.trace_error",
+    "parsed.ref_type", "parsed.ref_id", "parsed.ref_error",
+    "parsed.parse_error",
 ]
 
 CORPUS: list[tuple[str, bytes | None]] = [
@@ -45,6 +52,24 @@ CORPUS: list[tuple[str, bytes | None]] = [
     ("severity_text_like_prefix", b"<html><body>severity_text=abc;</body></html>"),
     ("giant_flat_page", b"<html><body>" + b"kv:k=v;" * 5000 + b"</body></html>"),
     ("marker_inside_text", b"<html><body><p>severity=9;</p></body></html>"),
+    # fixed-width validated ID (P5 analog, traces.go:90-124)
+    ("trace_valid", b"<html><body>trace_id=0123456789abcdef0123456789abcdef;</body></html>"),
+    ("trace_too_short", b"<html><body>trace_id=0123456789abcdef;</body></html>"),
+    ("trace_too_long", b"<html><body>trace_id=0123456789abcdef0123456789abcdef00;</body></html>"),
+    ("trace_uppercase_rejected", b"<html><body>trace_id=0123456789ABCDEF0123456789ABCDEF;</body></html>"),
+    ("trace_empty_is_absent", b"<html><body>trace_id=;</body></html>"),
+    ("trace_dup_last_wins", b"<html><body>trace_id=bad;trace_id=0123456789abcdef0123456789abcdef;</body></html>"),
+    ("trace_newline_tail_rejected", b"<html><body>trace_id=0123456789abcdef0123456789abcdef\n;</body></html>"),
+    ("trace_unterminated", b"<html><body>trace_id=0123456789abcdef0123456789abcdef</body></html>"),
+    # EntityRef structural validation (P14 analog, attributes.go:410-438)
+    ("ref_valid", b"<html><body>ref:svc,inst-1,schema,desc;</body></html>"),
+    ("ref_valid_empty_tail_fields", b"<html><body>ref:svc,inst-1,,;</body></html>"),
+    ("ref_three_fields", b"<html><body>ref:svc,inst-1,schema;</body></html>"),
+    ("ref_five_fields", b"<html><body>ref:a,b,c,d,e;</body></html>"),
+    ("ref_empty_type", b"<html><body>ref:,inst-1,schema,desc;</body></html>"),
+    ("ref_empty_id", b"<html><body>ref:svc,,schema,desc;</body></html>"),
+    ("ref_first_match_wins", b"<html><body>ref:first,id1,s,d;ref:second,id2,s,d;</body></html>"),
+    ("ref_empty_body", b"<html><body>ref:;</body></html>"),
 ]
 
 
@@ -76,6 +101,11 @@ def test_corpus_matches_python_oracle(corpus_results):
             assert [(a["key"], a["value"]) for a in r["attrs"]] == e.attrs, name
             assert r["record_count"] == e.record_count, name
             assert r["extracted_text"] == e.extracted_text, name
+            assert r["trace_id"] == e.trace_id, name
+            assert r["trace_error"] == e.trace_error, name
+            assert r["ref_type"] == e.ref_type, name
+            assert r["ref_id"] == e.ref_id, name
+            assert r["ref_error"] == e.ref_error, name
 
 
 def test_specific_semantics(corpus_results):
@@ -103,6 +133,100 @@ def test_specific_semantics(corpus_results):
     assert r["multiline_text"]["extracted_text"] == "line1\nline2"
     assert r["giant_flat_page"]["attrs"] is not None
     assert len(r["giant_flat_page"]["attrs"]) == 5000
+    # P5: exactly-32-lowercase-hex or bust; empty → absent; last wins
+    assert r["trace_valid"]["trace_id"] == "0123456789abcdef0123456789abcdef"
+    assert r["trace_valid"]["trace_error"] is None
+    for bad in ("trace_too_short", "trace_too_long",
+                "trace_uppercase_rejected", "trace_newline_tail_rejected"):
+        assert r[bad]["trace_id"] is None and r[bad]["trace_error"] == "invalid_trace_id", bad
+    assert r["trace_empty_is_absent"]["trace_id"] is None
+    assert r["trace_empty_is_absent"]["trace_error"] is None
+    assert r["trace_dup_last_wins"]["trace_id"] == "0123456789abcdef0123456789abcdef"
+    assert r["trace_unterminated"]["trace_id"] is None  # no ';' → no field
+    assert r["trace_unterminated"]["trace_error"] is None
+    # P14: 4 fields with non-empty type+id; field-level error otherwise
+    assert r["ref_valid"]["ref_type"] == "svc" and r["ref_valid"]["ref_id"] == "inst-1"
+    assert r["ref_valid_empty_tail_fields"]["ref_type"] == "svc"  # s,d may be ''
+    for bad in ("ref_three_fields", "ref_five_fields", "ref_empty_type",
+                "ref_empty_id", "ref_empty_body"):
+        assert r[bad]["ref_error"] == "invalid_ref" and r[bad]["ref_type"] is None, bad
+    assert r["ref_first_match_wins"]["ref_type"] == "first"
+    # structural field errors do NOT quarantine the row
+    assert r["ref_three_fields"]["parse_error"] is None
+    assert r["trace_too_short"]["parse_error"] is None
+
+
+# ---------------------------------------------------------------------------
+# I8 — typed records: attr field location depends on the type tag
+# (metrics.go:17-53 analog); both impls must normalize identically
+# ---------------------------------------------------------------------------
+
+TYPED_CORPUS: list[tuple[str, bytes | None]] = [
+    ("t0_default_f7", b"<rec t=0>f1=a;f7=b;f9=c;</rec>"),
+    ("t2_uses_f9", b"<rec t=2>f1=a;f7=b;f9=c;</rec>"),
+    ("t3_uses_f1", b"<rec t=3>f1=a;f7=b;f9=c;</rec>"),
+    ("t7_unknown_type_default_f7", b"<rec t=7>f1=a;f7=b;f9=c;</rec>"),
+    ("out_of_order_fields", b"<rec t=2>f9=z;f1=a;f7=b;</rec>"),
+    ("missing_selected_field", b"<rec t=2>f1=a;f7=b;</rec>"),
+    ("missing_all_fields", b"<rec t=0></rec>"),
+    ("empty_value", b"<rec t=3>f1=;f7=b;</rec>"),
+    ("multiple_recs_mixed", b"<rec t=2>f9=x;</rec><rec t=3>f1=y;</rec><rec t=0>f7=z;</rec>"),
+    ("untyped_rec_ignored", b"<rec>r0</rec><rec t=2>f9=q;</rec>"),
+    ("unterminated_rec", b"<rec t=2>f9=x;"),
+    ("newline_in_body_breaks_rec", b"<rec t=2>f9=x;\n</rec>"),
+    ("invalid_utf8_null_out", b"\xff\xfe"),
+    ("null_payload_typed", None),
+]
+
+
+@pytest.fixture(scope="module")
+def typed_results(spark):
+    rows = [(i, name, payload) for i, (name, payload) in enumerate(TYPED_CORPUS)]
+    df = spark.createDataFrame(rows, "id long, name string, html binary")
+    out = {}
+    for impl in ("expr", "arrow"):
+        got = parse_typed_records(df, impl=impl).select("name", "typed_recs")
+        out[impl] = {r["name"]: r["typed_recs"] for r in got.collect()}
+    return out
+
+
+def test_typed_recs_impls_agree(typed_results):
+    for name in typed_results["expr"]:
+        assert typed_results["expr"][name] == typed_results["arrow"][name], name
+
+
+def test_typed_recs_match_python_mirror(typed_results):
+    for name, payload in TYPED_CORPUS:
+        got = typed_results["expr"][name]
+        if payload is None:
+            assert got is None, name
+            continue
+        try:
+            s = payload.decode("utf-8")
+        except UnicodeDecodeError:
+            assert got is None, name
+            continue
+        want = [(r["rec_type"], r["attr"]) for r in _typed_recs_of(s)]
+        assert [(r["rec_type"], r["attr"]) for r in got] == want, name
+
+
+def test_typed_recs_field_selection(typed_results):
+    r = typed_results["expr"]
+    one = lambda name: (r[name][0]["rec_type"], r[name][0]["attr"])  # noqa: E731
+    assert one("t0_default_f7") == (0, "b")
+    assert one("t2_uses_f9") == (2, "c")
+    assert one("t3_uses_f1") == (3, "a")
+    assert one("t7_unknown_type_default_f7") == (7, "b")
+    assert one("out_of_order_fields") == (2, "z")  # position-independent
+    assert one("missing_selected_field") == (2, "")  # absent → ''
+    assert one("missing_all_fields") == (0, "")
+    assert one("empty_value") == (3, "")
+    assert [(x["rec_type"], x["attr"]) for x in r["multiple_recs_mixed"]] == [
+        (2, "x"), (3, "y"), (0, "z"),
+    ]
+    assert [(x["rec_type"], x["attr"]) for x in r["untyped_rec_ignored"]] == [(2, "q")]
+    assert r["unterminated_rec"] == []
+    assert r["newline_in_body_breaks_rec"] == []  # non-DOTALL both impls
 
 
 # ---------------------------------------------------------------------------

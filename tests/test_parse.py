@@ -31,7 +31,10 @@ def parsed_rows(spark):
     rows = df.select(
         "page_id", "url", "html", "text",
         "parsed.severity", "parsed.severity_text", "parsed.attrs",
-        "parsed.record_count", "parsed.extracted_text", "parsed.parse_error",
+        "parsed.record_count", "parsed.extracted_text",
+        "parsed.trace_id", "parsed.trace_error",
+        "parsed.ref_type", "parsed.ref_id", "parsed.ref_error",
+        "parsed.parse_error",
     ).collect()
     return {r["page_id"]: r for r in rows}
 
@@ -60,6 +63,58 @@ def test_extraction_matches_oracle(parsed_rows):
         assert [(a["key"], a["value"]) for a in r["attrs"]] == e.attrs, i
         assert r["record_count"] == e.record_count, i
         assert r["extracted_text"] == e.extracted_text, i
+        assert r["trace_id"] == e.trace_id, i
+        assert r["trace_error"] == e.trace_error, i
+        assert r["ref_type"] == e.ref_type, i
+        assert r["ref_id"] == e.ref_id, i
+        assert r["ref_error"] == e.ref_error, i
+
+
+def test_trace_id_validation_states(parsed_rows):
+    """P5 analog: valid / empty→absent / wrong-length / non-hex / absent all
+    occur in the fixture and resolve per traces.go:90-124 semantics."""
+    states = {"valid": 0, "absent": 0, "invalid": 0}
+    for i in range(N):
+        r = parsed_rows[i]
+        if r["parse_error"] is not None:
+            continue
+        if r["trace_id"] is not None:
+            assert len(r["trace_id"]) == 32 and r["trace_error"] is None, i
+            states["valid"] += 1
+        elif r["trace_error"] is not None:
+            assert r["trace_error"] == "invalid_trace_id", i
+            states["invalid"] += 1
+        else:
+            states["absent"] += 1
+        if i % 7 == 3:
+            assert r["trace_id"] is None and r["trace_error"] is None, i
+        elif i % 23 == 0:
+            assert r["trace_id"] is None and r["trace_error"] is None, i
+        elif i % 31 == 0 or i % 37 == 0:
+            assert r["trace_error"] == "invalid_trace_id", i
+        else:
+            assert r["trace_id"] == format(i * 9973 + 7, "x").zfill(32), i
+    assert all(v > 0 for v in states.values()), states
+
+
+def test_ref_structural_validation_states(parsed_rows):
+    """P14 analog: structurally-malformed refs (3 fields, empty type) get a
+    field-level error; valid refs expose type+id (attributes.go:410-438)."""
+    saw_invalid = saw_valid = False
+    for i in range(N):
+        r = parsed_rows[i]
+        if r["parse_error"] is not None:
+            continue
+        if i % 19 == 0:
+            assert r["ref_type"] is None and r["ref_error"] is None, i
+        elif i % 41 == 0 or i % 43 == 0:
+            assert r["ref_error"] == "invalid_ref" and r["ref_type"] is None, i
+            saw_invalid = True
+        else:
+            assert r["ref_type"] == f"cat{i % 13}" and r["ref_id"] == f"id{i % 29}", i
+            assert r["ref_error"] is None, i
+            saw_valid = True
+    assert saw_invalid and saw_valid
 
 
 def test_extracted_text_byte_identical_per_url(parsed_rows):
@@ -130,7 +185,10 @@ def test_expr_and_arrow_paths_identical(spark):
     pages = generate_pages(spark, 800)
     cols = [
         "page_id", "parsed.severity", "parsed.severity_text", "parsed.attrs",
-        "parsed.record_count", "parsed.extracted_text", "parsed.parse_error",
+        "parsed.record_count", "parsed.extracted_text",
+        "parsed.trace_id", "parsed.trace_error",
+        "parsed.ref_type", "parsed.ref_id", "parsed.ref_error",
+        "parsed.parse_error",
     ]
     a = {r["page_id"]: r for r in parse_pages(pages, impl="expr").select(cols).collect()}
     b = {r["page_id"]: r for r in parse_pages(pages, impl="arrow").select(cols).collect()}

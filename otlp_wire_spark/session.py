@@ -84,3 +84,45 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def iceberg_conf(
+    warehouse: str, catalog: str = "wire", jar_package: str | None = None
+) -> dict[str, str]:
+    """The exact session conf for the Iceberg sink path (`fmt='iceberg'` in
+    route.write_sharded / cli --sink-format): a hadoop-type catalog over the
+    given warehouse path. Pass the result as ``extra_conf`` to get_spark.
+
+    This sandbox ships no Iceberg runtime jar, so tests skip unless one is
+    present (tests/test_iceberg.py probes via ``has_iceberg``); on a real
+    cluster add e.g.
+    ``--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>``
+    (or set ``jar_package`` here) and the same conf gives per-shard sinks
+    with atomic snapshot commits — exactly-once under task retries, the
+    stronger version of the parquet committer's job-level atomicity.
+    """
+    conf = {
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+    }
+    if jar_package:
+        conf["spark.jars.packages"] = jar_package
+    return conf
+
+
+def has_iceberg() -> bool:
+    """True iff an Iceberg Spark runtime jar is on the local classpath."""
+    import glob
+
+    import pyspark
+
+    jar_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    extra = os.environ.get("SPARK_GRAFT_ICEBERG_JARS", "")
+    return bool(
+        glob.glob(os.path.join(jar_dir, "*iceberg-spark-runtime*"))
+        or (extra and glob.glob(extra))
+    )

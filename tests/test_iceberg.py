@@ -1,0 +1,61 @@
+"""Iceberg sink path — exercised when a runtime jar is present, explicitly
+skipped (not silently absent) when the sandbox pins parquet.
+
+The north rule names Iceberg as the sink table format; this sandbox ships no
+iceberg-spark-runtime jar, so the write test skips with the exact cluster
+recipe in the skip reason. The conf-shape test always runs: it pins the
+catalog configuration write_sharded users need, so the path cannot rot
+unnoticed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from otlp_wire_spark.session import has_iceberg, iceberg_conf
+
+ICEBERG_SKIP = (
+    "no iceberg-spark-runtime jar in this sandbox (parquet committer gives "
+    "job-level atomicity instead); on a cluster: spark-submit --packages "
+    "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> and pass "
+    "session.iceberg_conf(warehouse) as extra_conf"
+)
+
+
+def test_iceberg_conf_shape():
+    conf = iceberg_conf("/data/warehouse", catalog="wire")
+    assert conf["spark.sql.catalog.wire"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert conf["spark.sql.catalog.wire.type"] == "hadoop"
+    assert conf["spark.sql.catalog.wire.warehouse"] == "/data/warehouse"
+    assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]
+    with_jar = iceberg_conf(
+        "/w", jar_package="org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.8.0"
+    )
+    assert "spark.jars.packages" in with_jar
+
+
+@pytest.mark.skipif(not has_iceberg(), reason=ICEBERG_SKIP)
+def test_iceberg_sharded_write_roundtrip(tmp_path):
+    """Real Iceberg write: route → per-shard partitioned iceberg table →
+    read back, counts conserved. Runs only where the runtime jar exists."""
+    from pyspark.sql import SparkSession
+
+    from otlp_wire_spark.fixtures.pages import generate_pages
+    from otlp_wire_spark.operators.route import route
+    from otlp_wire_spark.session import get_spark
+
+    if (active := SparkSession.getActiveSession()) is not None:
+        active.stop()  # session confs (catalogs) bind at creation
+    spark = get_spark(
+        app_name="iceberg-test",
+        master="local[2]",
+        extra_conf=iceberg_conf(str(tmp_path / "warehouse")),
+    )
+    try:
+        routed = route(generate_pages(spark, 500), "url", num_shards=4)
+        routed.writeTo("wire.db.routed").partitionedBy("shard").createOrReplace()
+        back = spark.table("wire.db.routed")
+        assert back.count() == 500
+        assert back.select("shard").distinct().count() == 4
+    finally:
+        spark.stop()

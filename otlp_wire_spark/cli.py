@@ -50,6 +50,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="input snapshot id; same value resumes completed stages")
     run.add_argument("--sink-format", default="parquet",
                      choices=["parquet", "iceberg"])
+    run.add_argument("--fused", action="store_true",
+                     help="single-pass mode: no parsed-stage materialization;"
+                          " quarantine routes to its own shard=-1 sink and all"
+                          " counters ride the one write (resume granularity ="
+                          " whole run)")
 
     args = ap.parse_args(argv)
     spark = get_spark(app_name="otlp-wire-spark-cli")
@@ -70,6 +75,7 @@ def main(argv: list[str] | None = None) -> int:
             num_shards=args.num_shards,
             fingerprint=args.fingerprint,
             sink_format=args.sink_format,
+            persist_stages=not args.fused,
         )
         print(json.dumps({
             "band_counts": res.band_counts,

@@ -88,11 +88,30 @@ def run_pipeline(
     num_shards: int = 8,
     fingerprint: str = "default",
     sink_format: str = "parquet",
+    persist_stages: bool = True,
 ) -> PipelineResult:
-    """Run (or resume) the full pipeline; returns exact golden aggregates."""
+    """Run (or resume) the full pipeline; returns exact golden aggregates.
+
+    ``persist_stages=True`` (default) commits the parsed output to parquet
+    and re-reads it — stage-granular resume, at the cost of one full extra
+    write+read of the parsed data (a real durability/compute tradeoff; at
+    100 TB that extra IO is the dominant cost of a clean first run).
+    ``persist_stages=False`` is the FUSED single-pass mode: parse → enrich →
+    route → sinks in one job, quarantined rows routed to their own
+    ``shard=-1`` sink partition (quarantine is just another sink), all
+    counters and aggregates riding the one write via Observation. Resume
+    granularity drops to whole-run (the single 'routed' manifest), data
+    passes exactly once.
+    """
     t0 = time.time()
     skipped: list[str] = []
     os.makedirs(run_dir, exist_ok=True)
+
+    if not persist_stages:
+        return _run_pipeline_fused(
+            spark, pages, lookup, run_dir, num_shards, fingerprint,
+            sink_format, t0,
+        )
 
     # ---- stage: parse (+ quarantine) -------------------------------------
     parsed_dir = _stage_dir(run_dir, "parsed")
@@ -163,11 +182,96 @@ def run_pipeline(
         )
 
     # ---- stage: aggregate (band histogram + context stats) ---------------
+    return _finalize(spark, run_dir, fingerprint, per_shard, quarantined_n,
+                     skipped, t0, os.path.join(routed_dir, "data"))
+
+
+def _run_pipeline_fused(
+    spark: SparkSession,
+    pages: DataFrame,
+    lookup: DataFrame,
+    run_dir: str,
+    num_shards: int,
+    fingerprint: str,
+    sink_format: str,
+    t0: float,
+) -> PipelineResult:
+    """Single-pass mode: one job writes every sink (incl. shard=-1 =
+    quarantine) and every counter/aggregate rides it via Observation."""
+    from otlp_wire_spark.operators.route import with_shard
+
+    routed_dir = _stage_dir(run_dir, "routed")
+    sink_path = os.path.join(routed_dir, "data")
+    skipped: list[str] = []
+    if _stage_complete(run_dir, "routed", fingerprint):
+        skipped.append("routed")
+        m = json.load(open(_manifest_path(run_dir, "routed")))
+        per_shard = {int(k): v for k, v in m["per_shard"].items()}
+        quarantined_n = int(m["quarantined"])
+    else:
+        parsed = parse_pages(pages)
+        enriched = enrich(with_url_host(parsed), lookup)
+        slim = enriched.withColumn(
+            "parsed",
+            F.struct(
+                F.col("parsed.severity").alias("severity"),
+                F.col("parsed.severity_text").alias("severity_text"),
+                F.col("parsed.record_count").alias("record_count"),
+                F.col("parsed.parse_error").alias("parse_error"),
+            ),
+        )
+        err = F.col("parsed.parse_error")
+        sharded = with_shard(slim, "url", num_shards).withColumn(
+            "shard",
+            F.when(err.isNotNull(), F.lit(-1)).otherwise(F.col("shard")),
+        )
+        routed = sharded.repartition(num_shards, F.col("shard"))
+        band = severity_band_col(F.col("parsed.severity"))
+        extra = {
+            **{
+                f"band_{b}": F.sum(
+                    F.when(err.isNull() & (band == b), 1).otherwise(0)
+                )
+                for b in range(6)
+            },
+            "context_count": F.count(F.when(err.isNull(), F.col("context"))),
+            "context_bytes": F.coalesce(
+                F.sum(F.when(err.isNull(), F.length("context"))), F.lit(0)
+            ).cast("long"),
+            "quarantined": F.sum(F.when(err.isNotNull(), 1).otherwise(0)),
+        }
+        per_shard, extras = write_sharded_with_manifest(
+            routed, sink_path, num_shards, fmt=sink_format, extra_metrics=extra
+        )
+        quarantined_n = int(extras.pop("quarantined") or 0)
+        _write_manifest(
+            run_dir, "routed", fingerprint,
+            per_shard={str(k): v for k, v in per_shard.items()},
+            quarantined=quarantined_n,
+            aggregates={k: int(v or 0) for k, v in extras.items()},
+        )
+    return _finalize(spark, run_dir, fingerprint, per_shard, quarantined_n,
+                     skipped, t0, sink_path)
+
+
+def _finalize(
+    spark: SparkSession,
+    run_dir: str,
+    fingerprint: str,
+    per_shard: dict[int, dict[str, int]],
+    quarantined_n: int,
+    skipped: list[str],
+    t0: float,
+    sink_path: str,
+) -> PipelineResult:
     routed_manifest = json.load(open(_manifest_path(run_dir, "routed")))
     agg = routed_manifest.get("aggregates")
     if agg is None:
         # resumed from a pre-aggregates manifest: fall back to sink read
-        sink = spark.read.parquet(sink_path)
+        # (filter quarantine rows — fused sinks carry them under shard=-1)
+        sink = spark.read.parquet(sink_path).where(
+            F.col("parsed.parse_error").isNull()
+        )
         bands = band_histogram(sink, severity_col="parsed.severity").collect()
         band_counts = [0] * 6
         for r in bands:

@@ -121,6 +121,43 @@ def test_manifests_written_with_data(result):
         assert m["fingerprint"] == f"pages-n{N}"
 
 
+def test_fused_mode_matches_persisted_and_oracle(spark, result, expected,
+                                                 tmp_path_factory):
+    """persist_stages=False (single-pass, quarantine as shard=-1 sink, all
+    counters via Observation) must produce aggregates identical to both the
+    persisted mode and the pure-Python oracle — and must NOT write a parsed
+    stage directory (data passes exactly once)."""
+    run_dir = str(tmp_path_factory.mktemp("pipeline_fused"))
+    res = run_pipeline(
+        spark, generate_pages(spark, N), generate_lookup(spark), run_dir,
+        num_shards=NUM_SHARDS, fingerprint=f"fused-n{N}", persist_stages=False,
+    )
+    assert res.band_counts == expected["band_counts"]
+    assert res.context_count == expected["context_count"]
+    assert res.context_bytes == expected["context_bytes"]
+    assert res.per_shard == result.per_shard
+    assert res.quarantined == expected["quarantined"]
+    assert res.total_pages == N
+    assert not os.path.exists(os.path.join(run_dir, "parsed"))
+    # quarantine rows live under their own sink partition
+    qdir = os.path.join(run_dir, "routed", "data", "shard=-1")
+    assert os.path.isdir(qdir)
+    q = spark.read.parquet(os.path.join(run_dir, "routed", "data")).where(
+        F.col("shard") == -1
+    )
+    assert {r["page_id"] for r in q.select("page_id").collect()} == {
+        i for i in range(N) if i % 101 == 0
+    }
+    # fused resume: whole-run skip off the single routed manifest
+    res2 = run_pipeline(
+        spark, generate_pages(spark, N), generate_lookup(spark), run_dir,
+        num_shards=NUM_SHARDS, fingerprint=f"fused-n{N}", persist_stages=False,
+    )
+    assert res2.stages_skipped == ["routed"]
+    assert res2.band_counts == res.band_counts
+    assert res2.per_shard == res.per_shard
+
+
 def test_broadcast_join_in_plan(spark):
     """The enrichment join must be a broadcast hash join — no shuffle of the
     fact side (SURVEY.md §2.3)."""

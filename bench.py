@@ -79,22 +79,15 @@ def main() -> None:
     def run_route_pipeline(n: int, out: str) -> int:
         pages = generate_pages(spark, n, num_partitions=cpus * 2)
         lookup = generate_lookup(spark)
-        parsed = parse_pages(pages)
-        clean, _quar = quarantine_split(parsed)
-        enriched = enrich(with_url_host(clean), lookup)
-        # slim payload pre-shuffle: sink keeps verbatim html + counters;
-        # attrs/extracted_text re-derive from html on read
-        from pyspark.sql import functions as FF
-
-        slim = enriched.withColumn(
-            "parsed",
-            FF.struct(
-                FF.col("parsed.severity").alias("severity"),
-                FF.col("parsed.severity_text").alias("severity_text"),
-                FF.col("parsed.record_count").alias("record_count"),
-                FF.col("parsed.parse_error").alias("parse_error"),
-            ),
+        # fields-limited parse = slim payload pre-shuffle AND pruned compute:
+        # the sink keeps verbatim html + these counters; attrs/extracted_text
+        # (and trace/ref) re-derive from html on read, and their regex scans
+        # never enter this plan at all
+        parsed = parse_pages(
+            pages, fields=["severity", "severity_text", "record_count"]
         )
+        clean, _quar = quarantine_split(parsed)
+        slim = enrich(with_url_host(clean), lookup)
         routed = route(
             slim, route_key_col="url", num_shards=8,
             partitions_per_shard=max(1, cpus // 4),

@@ -207,7 +207,12 @@ def parse_page_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         yield _extract_frame(html)
 
 
-def parse_pages_expr(df: DataFrame, html_col: str = "html") -> DataFrame:
+ALL_PARSE_FIELDS = [f.name for f in PARSED_SCHEMA.fields if f.name != "parse_error"]
+
+
+def parse_pages_expr(
+    df: DataFrame, html_col: str = "html", fields: list[str] | None = None
+) -> DataFrame:
     """JVM-expression extractor — the default hot path.
 
     Same contract as ``parse_page_udf`` but built entirely from Spark
@@ -217,6 +222,14 @@ def parse_pages_expr(df: DataFrame, html_col: str = "html") -> DataFrame:
     implementations pinned identical by tests/test_parse.py, exactly like
     the reference's wire-vs-pdata parity gate
     (benchmark_comparison_test.go:297-301).
+
+    ``fields`` limits the output struct (parse_error always included).
+    Catalyst does NOT prune unused CreateNamedStruct fields here (the
+    struct alias is referenced multiple times downstream, so CollapseProject
+    keeps it whole) — a pipeline that routes only severity/record_count
+    would silently pay for the attrs/text/trace/ref regex scans too. Listing
+    the fields you read drops those scans from the plan entirely (pinned by
+    tests/test_parse.py::test_fields_subset_prunes_unused_scans).
     """
     h = F.col(html_col)
     s = F.expr(f"try_validate_utf8({html_col})")
@@ -225,69 +238,123 @@ def parse_pages_expr(df: DataFrame, html_col: str = "html") -> DataFrame:
         .when(s.isNull(), F.lit("utf8_decode_error"))
         .otherwise(F.lit(None).cast("string"))
     )
-    sevs = F.regexp_extract_all(s, F.lit(r"severity=(\d{1,9});"), F.lit(1))
-    severity = F.coalesce(
-        F.try_element_at(sevs, F.lit(-1)).cast("int"), F.lit(0)
-    )
-    texts = F.regexp_extract_all(s, F.lit(r"severity_text=([^;]*);"), F.lit(1))
-    severity_text = F.try_element_at(texts, F.lit(-1))
-    keys = F.regexp_extract_all(s, F.lit(r"kv:([^=;]*)=[^;]*;"), F.lit(1))
-    vals = F.regexp_extract_all(s, F.lit(r"kv:[^=;]*=([^;]*);"), F.lit(1))
-    attrs = F.zip_with(keys, vals, lambda k, v: F.struct(k.alias("key"), v.alias("value")))
-    record_count = F.size(F.regexp_extract_all(s, F.lit(r"<rec>.*?</rec>"), F.lit(0)))
-    extracted_text = F.try_element_at(
-        F.regexp_extract_all(s, F.lit(r"(?s)<p>(.*?)</p>"), F.lit(1)), F.lit(1)
-    )
+
+    def _severity() -> Column:
+        sevs = F.regexp_extract_all(s, F.lit(r"severity=(\d{1,9});"), F.lit(1))
+        return F.coalesce(F.try_element_at(sevs, F.lit(-1)).cast("int"), F.lit(0))
+
+    def _severity_text() -> Column:
+        texts = F.regexp_extract_all(s, F.lit(r"severity_text=([^;]*);"), F.lit(1))
+        return F.try_element_at(texts, F.lit(-1))
+
+    def _attrs() -> Column:
+        keys = F.regexp_extract_all(s, F.lit(r"kv:([^=;]*)=[^;]*;"), F.lit(1))
+        vals = F.regexp_extract_all(s, F.lit(r"kv:[^=;]*=([^;]*);"), F.lit(1))
+        return F.zip_with(
+            keys, vals, lambda k, v: F.struct(k.alias("key"), v.alias("value"))
+        )
+
+    def _record_count() -> Column:
+        return F.size(F.regexp_extract_all(s, F.lit(r"<rec>.*?</rec>"), F.lit(0)))
+
+    def _extracted_text() -> Column:
+        return F.try_element_at(
+            F.regexp_extract_all(s, F.lit(r"(?s)<p>(.*?)</p>"), F.lit(1)), F.lit(1)
+        )
+
     # trace_id: last-wins; exactly 32 lowercase hex → valid, '' → absent,
-    # anything else → field-level error (traces.go:90-124 analog)
-    traw = F.try_element_at(
-        F.regexp_extract_all(s, F.lit(r"trace_id=([^;]*);"), F.lit(1)), F.lit(-1)
-    )
+    # anything else → field-level error (traces.go:90-124 analog).
     # \z (strict end) not $ — Java's $ matches before a trailing newline,
     # Python's \Z (the oracle anchor) does not; [^;]* can capture \n
-    t_ok = traw.rlike(r"^[0-9a-f]{32}\z")
-    trace_id = F.when(t_ok, traw)
-    trace_error = F.when(
-        traw.isNotNull() & (traw != "") & ~t_ok, F.lit("invalid_trace_id")
-    )
+    def _traw() -> Column:
+        return F.try_element_at(
+            F.regexp_extract_all(s, F.lit(r"trace_id=([^;]*);"), F.lit(1)),
+            F.lit(-1),
+        )
+
+    def _trace_id() -> Column:
+        traw = _traw()
+        return F.when(traw.rlike(r"^[0-9a-f]{32}\z"), traw)
+
+    def _trace_error() -> Column:
+        traw = _traw()
+        return F.when(
+            traw.isNotNull() & (traw != "") & ~traw.rlike(r"^[0-9a-f]{32}\z"),
+            F.lit("invalid_trace_id"),
+        )
+
     # ref: first match; 4 comma-fields with non-empty type+id
     # (attributes.go:410-438 analog)
-    rraw = F.try_element_at(
-        F.regexp_extract_all(s, F.lit(r"ref:([^;]*);"), F.lit(1)), F.lit(1)
-    )
-    parts = F.split(rraw, ",", -1)
-    p1 = F.try_element_at(parts, F.lit(1))
-    p2 = F.try_element_at(parts, F.lit(2))
-    r_ok = (F.size(parts) == 4) & (p1 != "") & (p2 != "")
-    ref_type = F.when(rraw.isNotNull() & r_ok, p1)
-    ref_id = F.when(rraw.isNotNull() & r_ok, p2)
-    ref_error = F.when(rraw.isNotNull() & ~r_ok, F.lit("invalid_ref"))
+    def _rparts() -> tuple[Column, Column, Column, Column]:
+        rraw = F.try_element_at(
+            F.regexp_extract_all(s, F.lit(r"ref:([^;]*);"), F.lit(1)), F.lit(1)
+        )
+        parts = F.split(rraw, ",", -1)
+        p1 = F.try_element_at(parts, F.lit(1))
+        p2 = F.try_element_at(parts, F.lit(2))
+        r_ok = (F.size(parts) == 4) & (p1 != "") & (p2 != "")
+        return rraw, p1, p2, r_ok
+
+    def _ref_type() -> Column:
+        rraw, p1, _, r_ok = _rparts()
+        return F.when(rraw.isNotNull() & r_ok, p1)
+
+    def _ref_id() -> Column:
+        rraw, _, p2, r_ok = _rparts()
+        return F.when(rraw.isNotNull() & r_ok, p2)
+
+    def _ref_error() -> Column:
+        rraw, _, _, r_ok = _rparts()
+        return F.when(rraw.isNotNull() & ~r_ok, F.lit("invalid_ref"))
+
+    builders = {
+        "severity": _severity,
+        "severity_text": _severity_text,
+        "attrs": _attrs,
+        "record_count": _record_count,
+        "extracted_text": _extracted_text,
+        "trace_id": _trace_id,
+        "trace_error": _trace_error,
+        "ref_type": _ref_type,
+        "ref_id": _ref_id,
+        "ref_error": _ref_error,
+    }
+    selected = [f for f in ALL_PARSE_FIELDS if fields is None or f in fields]
     ok = err.isNull()
     parsed = F.struct(
-        F.when(ok, severity).alias("severity"),
-        F.when(ok, severity_text).alias("severity_text"),
-        F.when(ok, attrs).alias("attrs"),
-        F.when(ok, record_count).alias("record_count"),
-        F.when(ok, extracted_text).alias("extracted_text"),
-        F.when(ok, trace_id).alias("trace_id"),
-        F.when(ok, trace_error).alias("trace_error"),
-        F.when(ok, ref_type).alias("ref_type"),
-        F.when(ok, ref_id).alias("ref_id"),
-        F.when(ok, ref_error).alias("ref_error"),
+        *[F.when(ok, builders[name]()).alias(name) for name in selected],
         err.alias("parse_error"),
     )
     return df.withColumn("parsed", parsed)
 
 
-def parse_pages(df: DataFrame, html_col: str = "html", impl: str = "expr") -> DataFrame:
+def parse_pages(
+    df: DataFrame,
+    html_col: str = "html",
+    impl: str = "expr",
+    fields: list[str] | None = None,
+) -> DataFrame:
     """Attach the parsed struct. ``impl='expr'`` (default) uses the JVM
     codegen path; ``impl='arrow'`` uses the Arrow UDF path (for payloads
-    whose grammar outgrows Java regex — grok-style extraction). Select only
-    `parsed.<field>` downstream — nested-schema pruning keeps unneeded
-    fields out of the scan."""
+    whose grammar outgrows Java regex — grok-style extraction).
+
+    Pass ``fields`` with the columns you actually consume — Catalyst keeps
+    the whole struct alive once it's multi-referenced, so unlisted fields'
+    extraction work is otherwise computed and discarded (see
+    parse_pages_expr). parse_error is always included."""
     if impl == "expr":
-        return parse_pages_expr(df, html_col)
-    return df.withColumn("parsed", parse_page_udf(F.col(html_col)))
+        return parse_pages_expr(df, html_col, fields)
+    if fields is None:
+        return df.withColumn("parsed", parse_page_udf(F.col(html_col)))
+    keep = [f for f in ALL_PARSE_FIELDS if f in fields] + ["parse_error"]
+    schema = T.StructType([f for f in PARSED_SCHEMA.fields if f.name in keep])
+
+    @F.pandas_udf(schema)
+    def _subset_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for html in it:
+            yield _extract_frame(html)[[f.name for f in schema.fields]]
+
+    return df.withColumn("parsed", _subset_udf(F.col(html_col)))
 
 
 # ---------------------------------------------------------------------------

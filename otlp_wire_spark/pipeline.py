@@ -209,16 +209,16 @@ def _run_pipeline_fused(
         per_shard = {int(k): v for k, v in m["per_shard"].items()}
         quarantined_n = int(m["quarantined"])
     else:
-        parsed = parse_pages(pages)
-        enriched = enrich(with_url_host(parsed), lookup)
-        slim = enriched.withColumn(
-            "parsed",
-            F.struct(
-                F.col("parsed.severity").alias("severity"),
-                F.col("parsed.severity_text").alias("severity_text"),
-                F.col("parsed.record_count").alias("record_count"),
-                F.col("parsed.parse_error").alias("parse_error"),
+        # fields-limited parse: the routed sink carries only these columns
+        # (plus verbatim html) — unlisted extractors (attrs/text/trace/ref)
+        # never enter the plan, saving their regex scans entirely
+        slim = enrich(
+            with_url_host(
+                parse_pages(
+                    pages, fields=["severity", "severity_text", "record_count"]
+                )
             ),
+            lookup,
         )
         err = F.col("parsed.parse_error")
         sharded = with_shard(slim, "url", num_shards).withColumn(

@@ -205,6 +205,37 @@ def test_expr_path_is_pure_jvm(spark):
     assert "EvalPython" not in plan  # neither Batch- nor Arrow-
 
 
+def test_fields_subset_prunes_unused_scans(spark):
+    """fields=[...] must drop unlisted extractors from the optimized plan —
+    Catalyst won't prune a multi-referenced struct itself, so the routed
+    pipeline relies on this to avoid paying for attrs/text/trace/ref regex
+    scans it never reads. Values must equal the full parse."""
+    df0 = spark.createDataFrame(
+        [(i, oracle.html(i)) for i in range(200)], "page_id long, html binary"
+    )
+    sub = parse_pages(df0, fields=["severity", "severity_text", "record_count"])
+    out = sub.select("page_id", "parsed.*")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    for gone in (r"kv:([^=;]*)", r"(?s)<p>(.*?)</p>", r"trace_id=([^;]*)",
+                 r"ref:([^;]*)"):
+        assert gone not in plan, gone
+    assert r"severity=(\d{1,9})" in plan
+    # schema is exactly the subset (+ parse_error), values match full parse
+    assert out.columns == ["page_id", "severity", "severity_text",
+                           "record_count", "parse_error"]
+    full = {r["page_id"]: r for r in parse_pages(df0).select(
+        "page_id", "parsed.severity", "parsed.severity_text",
+        "parsed.record_count", "parsed.parse_error").collect()}
+    for r in out.collect():
+        assert tuple(r) == tuple(full[r["page_id"]]), r["page_id"]
+    # arrow impl honors the same subset contract
+    arrow = parse_pages(df0, impl="arrow",
+                        fields=["severity", "severity_text", "record_count"])
+    got = {r["page_id"]: r for r in arrow.select("page_id", "parsed.*").collect()}
+    for pid, r in got.items():
+        assert tuple(r) == tuple(full[pid]), pid
+
+
 def test_decode_fallback_is_per_failing_row_only():
     """A 10k-row batch with 1 malformed row must NOT re-decode the whole
     batch in Python — only the failing row (plus any legitimately-U+FFFD

@@ -220,6 +220,47 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    bucket_cap: int = 1000,
+    observation: "object | None" = None,
+) -> DataFrame:
+    """End-to-end near-duplicate detection — the composed 100 TB shape:
+    MinHash+LSH proposes candidate pairs (O(n·bands) shuffle, hot buckets
+    capped+observed), then EXACT n-gram Jaccard verifies ONLY those
+    candidates (two hash joins back to the shingle sets; candidate count ∝
+    true near-dups, never all-pairs). Output: verified pairs with
+    floor-quantized jaccard — false positives from banding are filtered,
+    recall is the LSH recall.
+    """
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, k, bands, n, bucket_cap, observation
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
+    ).where(F.size("sh") > 0)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = inter / union
+    return (
+        joined.where(jac >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(jac * F.lit(10000.0)).cast("long").alias("jaccard_q4"),
+        )
+    )
+
+
 def simhash16_col(text: Column) -> Column:
     """16-bit SimHash over whitespace tokens (FNV-64a token hashes).
 

@@ -210,8 +210,7 @@ _SQL_BAND_KEYS = ", ".join(
     )
     for i in range(4)
 )
-SQL_MINHASH_LSH_PAIRS = f"""
-WITH base AS (
+_SQL_LSH_CTES = f"""base AS (
   SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
 ), hashes AS (
   SELECT doc_id, {_sql_shingle_hashes()} AS hs FROM base
@@ -224,10 +223,47 @@ WITH base AS (
   SELECT doc_id, 1, band1 FROM bands UNION ALL
   SELECT doc_id, 2, band2 FROM bands UNION ALL
   SELECT doc_id, 3, band3 FROM bands
+), lsh_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM long_bands a JOIN long_bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH {_SQL_LSH_CTES}
+SELECT id_a, id_b FROM lsh_cand ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# end-to-end near-dup: LSH candidates verified by exact Jaccard on the
+# candidate set only — the composed 100 TB dedup shape, oracled end-to-end
+# --------------------------------------------------------------------------
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs(
+        docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+_SQL_JAC = (
+    "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))"
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM long_bands a JOIN long_bands b
-  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+SQL_NEAR_DUP_PAIRS = rf"""
+WITH {_SQL_LSH_CTES},
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(t)-1),
+                                 i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+  WHERE len(t) >= 3
+)
+SELECT c.id_a, c.id_b,
+       floor(({_SQL_JAC}) * 10000.0)::BIGINT AS jaccard_q4
+FROM lsh_cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+WHERE {_SQL_JAC} >= 0.5
 ORDER BY id_a, id_b
 """
 
@@ -416,6 +452,7 @@ QUERIES_EXT = {
     "lang_id": q_lang_id,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "near_dup_pairs": q_near_dup_pairs,
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -431,6 +468,7 @@ ORACLES_EXT = {
     "lang_id": SQL_LANG_ID,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
     "simhash": SQL_SIMHASH,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

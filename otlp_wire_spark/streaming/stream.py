@@ -53,7 +53,11 @@ def streaming_route(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Route a page stream to per-shard sinks with exact per-epoch manifests."""
-    parsed = parse_pages(pages_stream)
+    # fields-limited parse: same slim sink payload as the batch pipeline —
+    # unlisted extractors' regex scans never enter the streaming plan either
+    parsed = parse_pages(
+        pages_stream, fields=["severity", "severity_text", "record_count"]
+    )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         clean, quarantined = quarantine_split(batch_df)

@@ -64,6 +64,28 @@ def test_minhash_lsh_recall_on_planted_near_dups(spark):
     assert len(cand) < 150
 
 
+def test_near_dup_pairs_is_verified_lsh(spark):
+    """Composed near-dup = exact-Jaccard-verified LSH candidates: every
+    emitted pair meets the exact threshold (banding false positives are
+    filtered out), and every high-similarity pair LSH can see is kept."""
+    base = "w" + " w".join(str(i) for i in range(60))
+    rows = [(i, base + f" tail{i}") for i in range(10)]
+    rows += [(100 + i, f"completely different text number {i} " * 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard_q4"]
+        for r in dedup.jaccard_pairs(df, threshold=0.5).collect()
+    }
+    cand = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(df).collect()}
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_q4"]
+        for r in dedup.near_dup_pairs(df, threshold=0.5).collect()
+    }
+    assert set(got) == set(exact) & cand
+    for pair, q4 in got.items():
+        assert q4 == exact[pair], pair  # exact kernel, not an approximation
+
+
 def test_minhash_lsh_hot_bucket_capped_and_observed(spark):
     """A pathological boilerplate bucket (5k identical docs → one bucket per
     band) must be pre-capped by the window BEFORE any aggregation — no

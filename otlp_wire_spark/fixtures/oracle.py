@@ -32,6 +32,7 @@ _TEXT_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)
 _TRACE_RE = re.compile(r"trace_id=([^;]*);")
 _TRACE_OK_RE = re.compile(r"[0-9a-f]{32}\Z")
 _REF_RE = re.compile(r"ref:([^;]*);")
+_DEPTH_RE = re.compile(r"depth:([^;]*);")
 
 
 # ---------------------------------------------------------------- generation
@@ -106,6 +107,15 @@ def html(i: int) -> bytes:
         parts.append(f"ref:,id{i % 29},s{i % 3},d{i % 5};")  # empty type
     else:
         parts.append(f"ref:cat{i % 13},id{i % 29},s{i % 3},d{i % 5};")
+    if i % 61 == 0:
+        pass  # depth marker absent
+    elif i % 53 == 0:
+        parts.append("depth:" + "(" * 70 + "x" + ")" * 70 + ";")  # exceeded
+    elif i % 59 == 0:
+        parts.append("depth:((x);")  # unbalanced
+    else:
+        d = i % 5 + 1
+        parts.append("depth:" + "(" * d + "x" + ")" * d + ";")
     for j in range((i % 10) + 1):
         parts.append(f"<rec>r{j}</rec>")
     t = text(i)
@@ -130,6 +140,8 @@ class Extracted:
     ref_type: str | None = None  # EntityRef-analog: valid 4-field ref only
     ref_id: str | None = None
     ref_error: str | None = None  # 'invalid_ref' on structural failure
+    nest_depth: int | None = None  # paren nesting depth, ≤64 (P15 guard)
+    nest_error: str | None = None  # 'unbalanced' | 'depth_exceeded'
 
 
 def extract(html_bytes: bytes | None) -> Extracted:
@@ -168,9 +180,31 @@ def extract(html_bytes: bytes | None) -> Extracted:
             ref_type, ref_id = parts[0], parts[1]
         else:
             ref_error = "invalid_ref"
+    # depth guard (P15, attributes.go:95-97): bound 64, first match.
+    # Independent re-implementation (not shared with parse.py) — the oracle
+    # stays a genuine second opinion.
+    dm = _DEPTH_RE.search(s)
+    nest_depth = nest_error = None
+    if dm is not None:
+        cur = mx = 0
+        bad = False
+        for ch in dm.group(1):
+            if ch == "(":
+                cur += 1
+                mx = max(mx, cur)
+            elif ch == ")":
+                cur -= 1
+                bad = bad or cur < 0
+        if bad or cur != 0:
+            nest_error = "unbalanced"
+        elif mx > 64:
+            nest_error = "depth_exceeded"
+        else:
+            nest_depth = mx
     return Extracted(
         severity, severity_text, attrs, record_count, extracted_text, None,
         trace_id, trace_error, ref_type, ref_id, ref_error,
+        nest_depth, nest_error,
     )
 
 

@@ -142,6 +142,26 @@ def _html_str(idc: Column) -> Column:
             )
         )
     )
+    # depth-guard marker (P15): nested parens; exceed-64 and unbalanced
+    # variants planted — mirrored in oracle.html
+    d_ok = (idc % 5 + 1).cast("int")
+    depth_marker = (
+        F.when(idc % 61 == 0, F.lit(""))  # absent
+        .when(
+            idc % 53 == 0,
+            F.concat(
+                F.lit("depth:"), F.repeat(F.lit("("), 70), F.lit("x"),
+                F.repeat(F.lit(")"), 70), F.lit(";"),
+            ),
+        )  # depth 70 → exceeded
+        .when(idc % 59 == 0, F.lit("depth:((x);"))  # unbalanced
+        .otherwise(
+            F.concat(
+                F.lit("depth:"), F.repeat(F.lit("("), d_ok), F.lit("x"),
+                F.repeat(F.lit(")"), d_ok), F.lit(";"),
+            )
+        )
+    )
     nrec = (idc % 10) + 1
     recs = F.array_join(
         F.transform(
@@ -161,6 +181,7 @@ def _html_str(idc: Column) -> Column:
         kv_marker,
         trace_marker,
         ref_marker,
+        depth_marker,
         recs,
         text_block,
         F.lit("</body></html>"),

@@ -44,6 +44,31 @@ _TEXT_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)
 _TRACE_RE = re.compile(r"trace_id=([^;]*);")
 _TRACE_OK_RE = re.compile(r"[0-9a-f]{32}\Z")
 _REF_RE = re.compile(r"ref:([^;]*);")
+_DEPTH_RE = re.compile(r"depth:([^;]*);")
+
+MAX_NEST_DEPTH = 64  # reference recursion bound, attributes.go:95-97
+
+
+def _scan_depth(body: str) -> tuple[int | None, str | None]:
+    """(nest_depth, nest_error) for a paren-nested value body — the
+    depth-64 recursion guard (P15, attributes.go:95-97) made iterative:
+    unbalanced → 'unbalanced', max depth > 64 → 'depth_exceeded'."""
+    cur = mx = 0
+    bad = False
+    for ch in body:
+        if ch == "(":
+            cur += 1
+            if cur > mx:
+                mx = cur
+        elif ch == ")":
+            cur -= 1
+            if cur < 0:
+                bad = True
+    if bad or cur != 0:
+        return None, "unbalanced"
+    if mx > MAX_NEST_DEPTH:
+        return None, "depth_exceeded"
+    return mx, None
 
 # trace_id — the fixed-width validated ID analog (reference traces.go:90-124,
 # logs.go:249-264: a TraceID must be exactly 16 bytes; wrong size is a
@@ -58,6 +83,12 @@ _REF_RE = re.compile(r"ref:([^;]*);")
 # fields AND non-empty t,i → (ref_type, ref_id); structurally malformed →
 # ref_error='invalid_ref' (field-level, NOT row quarantine — encoding
 # errors quarantine the row, structure errors quarantine the field).
+#
+# depth — the recursion-bound analog (P15, attributes.go:95-97: semantic
+# AnyValue parse capped at depth 64). Here: first `depth:<parens>;` marker,
+# nesting measured iteratively; > 64 → nest_error='depth_exceeded',
+# unbalanced parens → 'unbalanced' — field-level, like every structural
+# failure.
 
 PARSED_SCHEMA = T.StructType(
     [
@@ -81,6 +112,8 @@ PARSED_SCHEMA = T.StructType(
         T.StructField("ref_type", T.StringType()),
         T.StructField("ref_id", T.StringType()),
         T.StructField("ref_error", T.StringType()),
+        T.StructField("nest_depth", T.IntegerType()),
+        T.StructField("nest_error", T.StringType()),
         T.StructField("parse_error", T.StringType()),
     ]
 )
@@ -172,6 +205,14 @@ def _extract_frame(html: pd.Series) -> pd.DataFrame:
     ref_id = refs.map(lambda t: t[1])
     ref_error = refs.map(lambda t: t[2])
 
+    # depth guard: first match, iterative paren scan, bound at 64
+    draw = ok.str.extract(_DEPTH_RE, expand=False)
+    depths = draw.map(
+        lambda v: _scan_depth(v) if isinstance(v, str) else (None, None)
+    )
+    nest_depth = depths.map(lambda t: t[0])
+    nest_error = depths.map(lambda t: t[1])
+
     bad = err.notna()
     severity = severity.mask(bad, None)
     severity_text = severity_text.mask(bad, None)
@@ -183,6 +224,8 @@ def _extract_frame(html: pd.Series) -> pd.DataFrame:
     ref_type = ref_type.mask(bad, None)
     ref_id = ref_id.mask(bad, None)
     ref_error = ref_error.mask(bad, None)
+    nest_depth = nest_depth.mask(bad, None)
+    nest_error = nest_error.mask(bad, None)
 
     return pd.DataFrame(
         {
@@ -196,6 +239,8 @@ def _extract_frame(html: pd.Series) -> pd.DataFrame:
             "ref_type": ref_type.astype(object),
             "ref_id": ref_id.astype(object),
             "ref_error": ref_error.astype(object),
+            "nest_depth": nest_depth.astype(object),
+            "nest_error": nest_error.astype(object),
             "parse_error": err,
         }
     )
@@ -307,6 +352,43 @@ def parse_pages_expr(
         rraw, _, _, r_ok = _rparts()
         return F.when(rraw.isNotNull() & ~r_ok, F.lit("invalid_ref"))
 
+    # depth guard (P15): iterative paren scan as a codegen'd aggregate fold
+    # over the body's characters — cur/max/bad accumulator, bound at 64
+    def _depth_scan() -> tuple[Column, Column, Column]:
+        draw = F.try_element_at(
+            F.regexp_extract_all(s, F.lit(r"depth:([^;]*);"), F.lit(1)), F.lit(1)
+        )
+        delta = lambda ch: (  # noqa: E731
+            F.when(ch == "(", 1).when(ch == ")", -1).otherwise(0)
+        )
+        scan = F.aggregate(
+            F.split(draw, ""),
+            F.struct(
+                F.lit(0).alias("cur"), F.lit(0).alias("mx"), F.lit(False).alias("bad")
+            ),
+            lambda acc, ch: F.struct(
+                (acc["cur"] + delta(ch)).alias("cur"),
+                F.greatest(
+                    acc["mx"], acc["cur"] + F.when(ch == "(", 1).otherwise(0)
+                ).alias("mx"),
+                (acc["bad"] | ((acc["cur"] + delta(ch)) < 0)).alias("bad"),
+            ),
+        )
+        unbalanced = scan["bad"] | (scan["cur"] != 0)
+        return draw, scan["mx"], unbalanced
+
+    def _nest_depth() -> Column:
+        draw, mx, unb = _depth_scan()
+        return F.when(
+            draw.isNotNull() & ~unb & (mx <= MAX_NEST_DEPTH), mx
+        ).cast("int")
+
+    def _nest_error() -> Column:
+        draw, mx, unb = _depth_scan()
+        return F.when(draw.isNotNull() & unb, F.lit("unbalanced")).when(
+            draw.isNotNull() & (mx > MAX_NEST_DEPTH), F.lit("depth_exceeded")
+        )
+
     builders = {
         "severity": _severity,
         "severity_text": _severity_text,
@@ -318,6 +400,8 @@ def parse_pages_expr(
         "ref_type": _ref_type,
         "ref_id": _ref_id,
         "ref_error": _ref_error,
+        "nest_depth": _nest_depth,
+        "nest_error": _nest_error,
     }
     selected = [f for f in ALL_PARSE_FIELDS if fields is None or f in fields]
     ok = err.isNull()

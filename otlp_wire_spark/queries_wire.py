@@ -281,6 +281,45 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_wire_depth_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 — recursion/depth bound through the REAL parser (expr impl): a
+    nested-parens value of depth 1..80 per doc; depth > 64 is a field-level
+    'depth_exceeded' (reference attributes.go:95-97: semantic AnyValue parse
+    capped at 64), every 51st doc is structurally unbalanced. The parser
+    measures depth by an iterative character-fold; the DuckDB oracle
+    recomputes the expected state arithmetically — the scan itself is what's
+    being graded."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    nd = (d % 80 + 1).cast("int")
+    body = F.when(
+        d % 51 == 0, F.concat(F.repeat(F.lit("("), nd + 1), F.lit("x"),
+                              F.repeat(F.lit(")"), nd))
+    ).otherwise(
+        F.concat(F.repeat(F.lit("("), nd), F.lit("x"), F.repeat(F.lit(")"), nd))
+    )
+    html = F.encode(
+        F.concat(F.lit("<html><body>depth:"), body, F.lit(";</body></html>")),
+        "UTF-8",
+    )
+    parsed = parse_pages(docs.withColumn("html", html), impl="expr")
+    return parsed.select(
+        "doc_id",
+        F.col("parsed.nest_depth").alias("nest_depth"),
+        F.col("parsed.nest_error").alias("nest_error"),
+    ).orderBy("doc_id")
+
+
+SQL_WIRE_DEPTH_GUARD = """
+SELECT doc_id,
+  CASE WHEN doc_id % 51 != 0 AND doc_id % 80 + 1 <= 64
+       THEN (doc_id % 80 + 1)::INT END AS nest_depth,
+  CASE WHEN doc_id % 51 = 0 THEN 'unbalanced'
+       WHEN doc_id % 80 + 1 > 64 THEN 'depth_exceeded' END AS nest_error
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_wire_typed_attr_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I8 — type-DEPENDENT attribute field location (metrics.go:17-53): each
     page carries 1+doc_id%7 recs ``<rec t=T>f1=..;f7=..;f9=..;</rec>`` whose
@@ -346,6 +385,7 @@ QUERIES_WIRE = {
     "wire_trace_validation": q_wire_trace_validation,
     "wire_ref_validation": q_wire_ref_validation,
     "wire_typed_attr_resolution": q_wire_typed_attr_resolution,
+    "wire_depth_guard": q_wire_depth_guard,
 }
 
 ORACLES_WIRE = {
@@ -357,4 +397,5 @@ ORACLES_WIRE = {
     "wire_trace_validation": SQL_WIRE_TRACE_VALIDATION,
     "wire_ref_validation": SQL_WIRE_REF_VALIDATION,
     "wire_typed_attr_resolution": SQL_WIRE_TYPED_ATTR_RESOLUTION,
+    "wire_depth_guard": SQL_WIRE_DEPTH_GUARD,
 }

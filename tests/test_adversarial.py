@@ -23,6 +23,7 @@ PARSED_COLS = [
     "parsed.record_count", "parsed.extracted_text",
     "parsed.trace_id", "parsed.trace_error",
     "parsed.ref_type", "parsed.ref_id", "parsed.ref_error",
+    "parsed.nest_depth", "parsed.nest_error",
     "parsed.parse_error",
 ]
 
@@ -70,6 +71,15 @@ CORPUS: list[tuple[str, bytes | None]] = [
     ("ref_empty_id", b"<html><body>ref:svc,,schema,desc;</body></html>"),
     ("ref_first_match_wins", b"<html><body>ref:first,id1,s,d;ref:second,id2,s,d;</body></html>"),
     ("ref_empty_body", b"<html><body>ref:;</body></html>"),
+    # depth guard (P15 analog, attributes.go:95-97 recursion bound)
+    ("depth_simple", b"<html><body>depth:((x));</body></html>"),
+    ("depth_zero", b"<html><body>depth:;</body></html>"),
+    ("depth_flat_noise_ignored", b"<html><body>depth:a(b)c(d(e));</body></html>"),
+    ("depth_exactly_64", b"<html><body>depth:" + b"(" * 64 + b"x" + b")" * 64 + b";</body></html>"),
+    ("depth_65_exceeded", b"<html><body>depth:" + b"(" * 65 + b"x" + b")" * 65 + b";</body></html>"),
+    ("depth_unbalanced_open", b"<html><body>depth:((x);</body></html>"),
+    ("depth_unbalanced_close", b"<html><body>depth:(x));</body></html>"),
+    ("depth_close_before_open", b"<html><body>depth:)x(;</body></html>"),
 ]
 
 
@@ -106,6 +116,8 @@ def test_corpus_matches_python_oracle(corpus_results):
             assert r["ref_type"] == e.ref_type, name
             assert r["ref_id"] == e.ref_id, name
             assert r["ref_error"] == e.ref_error, name
+            assert r["nest_depth"] == e.nest_depth, name
+            assert r["nest_error"] == e.nest_error, name
 
 
 def test_specific_semantics(corpus_results):
@@ -154,6 +166,18 @@ def test_specific_semantics(corpus_results):
     # structural field errors do NOT quarantine the row
     assert r["ref_three_fields"]["parse_error"] is None
     assert r["trace_too_short"]["parse_error"] is None
+    # P15: depth bound at exactly 64; unbalanced always a field error
+    assert r["depth_simple"]["nest_depth"] == 2
+    assert r["depth_zero"]["nest_depth"] == 0
+    assert r["depth_flat_noise_ignored"]["nest_depth"] == 2
+    assert r["depth_exactly_64"]["nest_depth"] == 64
+    assert r["depth_exactly_64"]["nest_error"] is None
+    assert r["depth_65_exceeded"]["nest_depth"] is None
+    assert r["depth_65_exceeded"]["nest_error"] == "depth_exceeded"
+    for bad in ("depth_unbalanced_open", "depth_unbalanced_close",
+                "depth_close_before_open"):
+        assert r[bad]["nest_error"] == "unbalanced", bad
+    assert r["depth_65_exceeded"]["parse_error"] is None  # field-level only
 
 
 # ---------------------------------------------------------------------------

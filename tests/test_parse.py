@@ -34,6 +34,7 @@ def parsed_rows(spark):
         "parsed.record_count", "parsed.extracted_text",
         "parsed.trace_id", "parsed.trace_error",
         "parsed.ref_type", "parsed.ref_id", "parsed.ref_error",
+        "parsed.nest_depth", "parsed.nest_error",
         "parsed.parse_error",
     ).collect()
     return {r["page_id"]: r for r in rows}
@@ -68,6 +69,31 @@ def test_extraction_matches_oracle(parsed_rows):
         assert r["ref_type"] == e.ref_type, i
         assert r["ref_id"] == e.ref_id, i
         assert r["ref_error"] == e.ref_error, i
+        assert r["nest_depth"] == e.nest_depth, i
+        assert r["nest_error"] == e.nest_error, i
+
+
+def test_depth_guard_states(parsed_rows):
+    """P15 analog: valid depth / exceeded / unbalanced / absent all occur in
+    the fixture and resolve per the attributes.go:95-97 recursion bound."""
+    states = {"valid": 0, "exceeded": 0, "unbalanced": 0, "absent": 0}
+    for i in range(N):
+        r = parsed_rows[i]
+        if r["parse_error"] is not None:
+            continue
+        if i % 61 == 0:
+            assert r["nest_depth"] is None and r["nest_error"] is None, i
+            states["absent"] += 1
+        elif i % 53 == 0:
+            assert r["nest_error"] == "depth_exceeded", i
+            states["exceeded"] += 1
+        elif i % 59 == 0:
+            assert r["nest_error"] == "unbalanced", i
+            states["unbalanced"] += 1
+        else:
+            assert r["nest_depth"] == i % 5 + 1 and r["nest_error"] is None, i
+            states["valid"] += 1
+    assert all(v > 0 for v in states.values()), states
 
 
 def test_trace_id_validation_states(parsed_rows):
@@ -188,6 +214,7 @@ def test_expr_and_arrow_paths_identical(spark):
         "parsed.record_count", "parsed.extracted_text",
         "parsed.trace_id", "parsed.trace_error",
         "parsed.ref_type", "parsed.ref_id", "parsed.ref_error",
+        "parsed.nest_depth", "parsed.nest_error",
         "parsed.parse_error",
     ]
     a = {r["page_id"]: r for r in parse_pages(pages, impl="expr").select(cols).collect()}

@@ -159,6 +159,8 @@ def main() -> None:
         return
 
     # ---- headline SQL-oracle queries on the sf tables ---------------------
+    from otlp_wire_spark.queries_ext import QUERIES_EXT
+
     bench_queries = [
         "pricing_summary",
         "band_histogram",
@@ -170,9 +172,15 @@ def main() -> None:
         "dedup_exact",
         "fingerprint_fnv",
         "topk_users",
+        # training-data operator suite (documents/embeddings tables)
+        "near_dup_pairs",
+        "simhash",
+        "token_stats",
+        "cosine_topk",
     ]
+    all_queries = {**QUERIES, **QUERIES_EXT}
     for name in bench_queries:
-        fn = QUERIES.get(name)
+        fn = all_queries.get(name)
         if fn is None:
             continue
         t0 = time.perf_counter()

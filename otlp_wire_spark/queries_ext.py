@@ -273,9 +273,11 @@ ORDER BY id_a, id_b
 # --------------------------------------------------------------------------
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash via the Arrow/numpy scale path — the SQL oracle recomputes
+    it bit-for-bit, and tests pin arrow == expr impl parity."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", dedup.simhash16_col(F.col("text")).alias("simhash")
+        "doc_id", dedup.simhash16_arrow_col(F.col("text")).alias("simhash")
     ).orderBy("doc_id")
 
 

@@ -145,6 +145,25 @@ def test_simhash_near_for_near_texts(spark):
     assert out[4] == 0 and out[5] == 0
 
 
+def test_simhash_arrow_matches_expr(spark):
+    """The vectorized numpy SimHash (scale path) must be bit-identical to
+    the pure-JVM expression impl on every shape: plain text, NULL, empty,
+    whitespace-only, single token, non-ASCII, long docs."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, None), (3, ""), (4, "   "), (5, "single"),
+        (6, "café 中文 naïve — tokens"), (7, "a b c d e f g h i j " * 40),
+        (8, "tab\tand\nnewline separated tokens"),
+    ] + [(100 + i, f"generated doc {i} with words w{i % 7} w{(i * 3) % 11}")
+         for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", dedup.simhash16_col(F.col("text")).alias("s")).collect()}
+    b = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", dedup.simhash16_arrow_col(F.col("text")).alias("s")).collect()}
+    assert a == b
+
+
 def test_lsh_ann_finds_planted_duplicate(spark):
     """A duplicated vector lands in the same LSH bucket by construction and
     must come back as the top-1 neighbor with cosine 1.0."""

@@ -94,6 +94,96 @@ def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     return acc.cast("int")
 
 
+def ivf_centroids(dim: int, n_centroids: int = 8, seed: int = 3) -> list[list[float]]:
+    """Deterministic unit 'centroids' (sin-hash, no RNG state) — the coarse
+    quantizer of an IVF index. A real deployment would k-means these; the
+    partitioning math downstream is identical, and determinism lets the
+    DuckDB oracle embed them as literals."""
+    cents = []
+    for c in range(n_centroids):
+        v = [math.sin(seed * 271.7 + c * 53.21 + d * 7.77) for d in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / norm for x in v])
+    return cents
+
+
+def _centroid_sims(vec: Column, cents: list[list[float]]) -> list[Column]:
+    v = _as_double(vec)
+    return [_dot(v, F.array(*[F.lit(x) for x in c])) for c in cents]
+
+
+def ivf_assign_col(vec: Column, cents: list[list[float]]) -> Column:
+    """Nearest-centroid id by dot product (centroids are unit vectors, so
+    dot == cosine ranking); ties → lowest centroid id (deterministic)."""
+    sims = _centroid_sims(vec, cents)
+    mx = F.greatest(*sims)
+    out = F.when(sims[0] == mx, F.lit(0))
+    for j in range(1, len(cents)):
+        out = out.when(sims[j] == mx, F.lit(j))
+    return out.cast("int")
+
+
+def ivf_probe_col(vec: Column, cents: list[list[float]], n_probe: int) -> Column:
+    """The n_probe nearest centroid ids, best first (array<int>) — queries
+    search their own cell plus the next-closest cells, the standard IVF
+    recall/cost knob."""
+    sims = _centroid_sims(vec, cents)
+    scored = F.array(
+        *[
+            F.struct(F.lit(j).alias("cid"), sims[j].alias("sim"))
+            for j in range(len(cents))
+        ]
+    )
+    ranked = F.reverse(
+        F.array_sort(
+            F.transform(scored, lambda s: F.struct(s["sim"].alias("sim"), (-s["cid"]).alias("ncid")))
+        )
+    )
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: (-s["ncid"]).cast("int"))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed ONCE by nearest centroid
+    (narrow scan — at scale, persist/bucket this once and reuse across
+    query batches); each query probes its ``n_probe`` nearest cells, exact
+    cosine only within them. Candidates shrink ~n_probe/n_centroids; ties
+    broken by ascending corpus id (deterministic under any partitioning)."""
+    cents = ivf_centroids(dim, n_centroids)
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        _as_double(F.col(vec_col)).alias("c_v"),
+        ivf_assign_col(F.col(vec_col), cents).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        _as_double(F.col(vec_col)).alias("q_v"),
+        F.explode(ivf_probe_col(F.col(vec_col), cents, n_probe)).alias("cell"),
+    )
+    cos = _dot(F.col("q_v"), F.col("c_v")) / (
+        _norm(F.col("q_v")) * _norm(F.col("c_v"))
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(cos, 4).cast("double").alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

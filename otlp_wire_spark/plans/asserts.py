@@ -31,6 +31,22 @@ def assert_broadcast_join(df: DataFrame) -> None:
     assert "SortMergeJoin" not in plan, f"sort-merge join present:\n{plan[:2000]}"
 
 
+def count_shuffles(df: DataFrame) -> int:
+    """Number of shuffle exchanges (broadcast exchanges excluded) — the
+    scale-audit number: every one is a full-data network pass at 100 TB."""
+    plan = executed_plan(df)
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    )
+
+
+def assert_max_shuffles(df: DataFrame, n: int) -> None:
+    got = count_shuffles(df)
+    assert got <= n, f"{got} shuffle exchanges (budget {n}):\n{executed_plan(df)[:3000]}"
+
+
 def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
     """The named column must appear in the scan's PushedFilters."""
     plan = executed_plan(df)

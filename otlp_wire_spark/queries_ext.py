@@ -132,12 +132,16 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _sql_lang_score(words: list[str]) -> str:
+def _sql_lang_score_expr(words: list[str], toks_expr: str) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return (
         "len(list_intersect(list_distinct(list_transform("
-        f"{_SQL_TOKS}, t -> lower(t))), [{lst}]))"
+        f"{toks_expr}, t -> lower(t))), [{lst}]))"
     )
+
+
+def _sql_lang_score(words: list[str]) -> str:
+    return _sql_lang_score_expr(words, _SQL_TOKS)
 
 
 _LANG_SCORES = {k: _sql_lang_score(v) for k, v in textstats.LANG_MARKERS.items()}
@@ -156,6 +160,67 @@ SELECT doc_id,
        WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
        ELSE 'unknown' END AS pred_lang
 FROM s ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# composed corpus curation: lang + quality + length filters → exact dedup
+# of the survivors (keep-rows) — the end-to-end training-data filter,
+# oracled as one composition
+# --------------------------------------------------------------------------
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_wire_spark.operators.curate import curate
+    from otlp_wire_spark.operators.textstats import quantize4
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = curate(docs, langs=("en",), min_quality=0.3, min_tokens=3)
+    return kept.select(
+        "doc_id",
+        "pred_lang",
+        quantize4(F.col("quality")).alias("quality_q4"),
+        "n_tokens",
+    ).orderBy("doc_id")
+
+
+_CURATE_LANGS = {
+    k: _sql_lang_score_expr(v, "toks") for k, v in textstats.LANG_MARKERS.items()
+}
+SQL_CURATE_CORPUS = f"""
+WITH base AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+), stats AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(list_transform(toks, t -> lower(t)),
+                              t -> t IN ({_STOPS})))::DOUBLE / len(toks)
+    END AS stop_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE length(trim(text))::DOUBLE / len(toks) END AS avg_len,
+    {_CURATE_LANGS["en"]} AS s_en, {_CURATE_LANGS["de"]} AS s_de,
+    {_CURATE_LANGS["fr"]} AS s_fr, {_CURATE_LANGS["es"]} AS s_es
+  FROM base
+), scored AS (
+  SELECT doc_id, text, n_tokens,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+         ELSE 'unknown' END AS pred_lang,
+    CASE WHEN n_tokens = 0 THEN 0.0
+         ELSE 0.5*least(n_tokens/100.0, 1.0) + 0.3*(1.0-stop_ratio)
+              + 0.2*least(avg_len/10.0, 1.0) END AS quality
+  FROM stats
+), kept AS (
+  SELECT * FROM scored
+  WHERE pred_lang = 'en' AND quality >= 0.3 AND n_tokens >= 3
+)
+SELECT doc_id, pred_lang, floor(quality * 10000.0)::BIGINT AS quality_q4,
+       n_tokens::INT AS n_tokens
+FROM kept
+WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(text))
+ORDER BY doc_id
 """
 
 
@@ -328,6 +393,57 @@ SELECT q_id, c_id, cosine, rank FROM (
 """
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse-quantizer buckets, n_probe cells per query) — fully
+    oracled: the deterministic centroids are embedded as literals in the
+    DuckDB SQL, which re-derives cell assignment, probe list, and in-cell
+    exact cosine ranking independently."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_topk(
+        emb, emb.where(F.col("vec_id") < 5), dim=64, k=3,
+        n_centroids=8, n_probe=2,
+    )
+
+
+def _sql_ivf() -> str:
+    cents = similarity.ivf_centroids(64, 8)
+    rows = ", ".join(
+        f"({j}, {list(c)!r}::DOUBLE[])" for j, c in enumerate(cents)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents(cid, c) AS (VALUES {rows}),
+corpus AS (
+  SELECT vec_id AS c_id, e AS ce,
+    (SELECT cid FROM cents
+     ORDER BY list_dot_product(v.e, cents.c) DESC, cid ASC LIMIT 1) AS cell
+  FROM v
+),
+probes AS (
+  SELECT q.vec_id AS q_id, q.e AS qe, p.cid AS cell
+  FROM v q, LATERAL (SELECT cid FROM cents
+                     ORDER BY list_dot_product(q.e, cents.c) DESC, cid ASC
+                     LIMIT 2) p
+  WHERE q.vec_id < 5
+),
+scored AS (
+  SELECT p.q_id, c.c_id,
+    round(list_dot_product(p.qe, c.ce)
+          / (sqrt(list_dot_product(p.qe, p.qe))
+             * sqrt(list_dot_product(c.ce, c.ce))), 4)::DOUBLE AS cosine
+  FROM probes p JOIN corpus c ON p.cell = c.cell AND c.c_id != p.q_id
+)
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3 ORDER BY q_id, rank
+"""
+
+
+SQL_IVF_ANN_TOPK = _sql_ivf()
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_cosine_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
@@ -447,6 +563,7 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 
 
 QUERIES_EXT = {
+    "curate_corpus": q_curate_corpus,
     "dedup_rows": q_dedup_rows,
     "rolling_fingerprint": q_rolling_fingerprint,
     "token_stats": q_token_stats,
@@ -457,12 +574,14 @@ QUERIES_EXT = {
     "near_dup_pairs": q_near_dup_pairs,
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "salted_group_counts": q_salted_group_counts,
     "multimodal_features": q_multimodal_features,
 }
 
 ORACLES_EXT = {
+    "curate_corpus": SQL_CURATE_CORPUS,
     "dedup_rows": SQL_DEDUP_ROWS,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "token_stats": SQL_TOKEN_STATS,
@@ -473,6 +592,7 @@ ORACLES_EXT = {
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
     "simhash": SQL_SIMHASH,
     "cosine_topk": SQL_COSINE_TOPK,
+    "ivf_ann_topk": SQL_IVF_ANN_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "salted_group_counts": SQL_SALTED_GROUP_COUNTS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,

@@ -181,6 +181,29 @@ def test_lsh_ann_finds_planted_duplicate(spark):
     assert top["c_id"] == 3 and top["cosine"] == pytest.approx(1.0)
 
 
+def test_ivf_ann_finds_planted_duplicate_and_subsets_exact(spark):
+    """IVF: a duplicated vector shares its query's nearest cell by
+    construction → must come back top-1 at cosine 1.0; every returned
+    cosine must equal the brute-force kernel's (same exact math)."""
+    dim = 8
+    vecs = [(i, [math.sin(i * 1.3 + d * 0.7) for d in range(dim)]) for i in range(50)]
+    vecs.append((999, list(vecs[7][1])))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = similarity.ivf_ann_topk(
+        df, df.where(F.col("vec_id") == 999), dim=dim, k=3, n_centroids=4, n_probe=2
+    ).collect()
+    assert out and out[0]["c_id"] == 7 and out[0]["cosine"] == pytest.approx(1.0)
+    exact = {
+        (r["q_id"], r["c_id"]): r["cosine"]
+        for r in similarity.cosine_topk(df, df.where(F.col("vec_id") < 3), k=49).collect()
+    }
+    approx = similarity.ivf_ann_topk(
+        df, df.where(F.col("vec_id") < 3), dim=dim, k=5, n_centroids=4, n_probe=2
+    ).collect()
+    for r in approx:
+        assert exact[(r["q_id"], r["c_id"])] == r["cosine"]
+
+
 def test_lsh_ann_subset_of_exact_scores(spark):
     """Approximate results must carry EXACT cosines (same kernel), and its
     (q,c) pairs must be a subset of the brute-force scored universe."""

@@ -167,3 +167,31 @@ def test_broadcast_join_in_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_plan_shape_budget(spark):
+    """Scale-shape gate for the routed pipeline plan: EXACTLY ONE shuffle
+    exchange (the mandated repartition-by-shard; enrichment must stay
+    broadcast), and zero Python evaluation (fields-limited expr parse).
+    A second full-data shuffle sneaking in is a 100 TB regression even if
+    every correctness gate stays green."""
+    from otlp_wire_spark.operators.enrich import enrich, with_url_host
+    from otlp_wire_spark.operators.parse import parse_pages
+    from otlp_wire_spark.operators.route import route
+    from otlp_wire_spark.plans.asserts import (
+        assert_broadcast_join,
+        assert_max_shuffles,
+        assert_no_python,
+        count_shuffles,
+    )
+
+    parsed = parse_pages(
+        generate_pages(spark, 100),
+        fields=["severity", "severity_text", "record_count"],
+    )
+    routed = route(enrich(with_url_host(parsed), generate_lookup(spark)),
+                   "url", num_shards=8)
+    assert count_shuffles(routed) == 1, "exactly the shard repartition"
+    assert_max_shuffles(routed, 1)
+    assert_broadcast_join(routed)
+    assert_no_python(routed)

@@ -75,14 +75,32 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     return shingles_from_tokens(tokens_col(text), n)
 
 
-def shingle_hashes_col(text: Column, n: int = 3) -> Column:
-    """FNV-64a of each distinct shingle, folded into [0, 2^31) so the
-    MinHash permutation arithmetic (a*x+b) stays overflow-free in int64.
-    Convenience form — see _shingled() for the staged-projection scale path."""
+# 2^64 mod (2^31-1) — the unsigned-reconstruction wrap term: u64 % p must
+# be computed from the signed bit pattern as pmod(pmod(h,p) + (h<0)*wrap, p)
+_U64_WRAP = (1 << 64) % MERSENNE_P  # = 4
+
+
+def shingle_hashes_from(sh: Column) -> Column:
+    """FNV-64a of each shingle folded into [0, 2^31) in UNSIGNED u64 space —
+    the same value the SQL oracle's HUGEINT `% p` produces (a plain pmod of
+    the signed bit pattern would differ by 4 mod p whenever the sign bit is
+    set, a divergence the pair-only LSH gate can't see but signature
+    comparisons would). Keeps (a*x+b) overflow-free in int64."""
+    raw = F.transform(sh, lambda s: fnv64a_expr(s))
     return F.transform(
-        shingles_col(text, n),
-        lambda s: F.pmod(fnv64a_expr(s), F.lit(MERSENNE_P)),
+        raw,
+        lambda h: F.pmod(
+            F.pmod(h, F.lit(MERSENNE_P))
+            + F.when(h < 0, F.lit(_U64_WRAP)).otherwise(F.lit(0)),
+            F.lit(MERSENNE_P),
+        ),
     )
+
+
+def shingle_hashes_col(text: Column, n: int = 3) -> Column:
+    """Convenience form — see _shingled() for the staged-projection scale
+    path."""
+    return shingle_hashes_from(shingles_col(text, n))
 
 
 def _shingled(
@@ -128,6 +146,75 @@ def minhash_signature_col(text: Column, k: int = 16, n: int = 3) -> Column:
     inlines the shingle hashing k times; pipelines should materialize
     ``shingle_hashes_col`` and use ``minhash_sig_from_hashes``."""
     return minhash_sig_from_hashes(shingle_hashes_col(text, n), k)
+
+
+def minhash_signature_arrow_col(
+    text: Column, k: int = 16, n: int = 3
+) -> Column:
+    """Vectorized MinHash signature — the scale path for the 100 TB dedup.
+
+    Spark higher-order functions are CodegenFallback (interpreted), so the
+    JVM signature pays ~0.5 ms/row; this Arrow kernel tokenizes and
+    shingles per batch in Python, hashes ALL distinct shingles through the
+    numpy FNV at once, evaluates the k permutations as one (k, N) matrix
+    op, and segment-mins per row (np.minimum.reduceat). Bit-identical to
+    minhash_signature_col / the SQL oracle (same tokens, same shingles,
+    same (a*x+b) mod p arithmetic in int64) — pinned by tests/test_ops.py.
+    """
+    import re as _re
+
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    from otlp_wire_spark.functions.fnv import fnv64a_numpy
+
+    ws = _re.compile(r"\s+")
+    perms = minhash_perms(k)
+    a_vec = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in perms], dtype=np.int64)[:, None]
+    p = np.int64(MERSENNE_P)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        sentinel = [int(MERSENNE_P)] * k
+        for s in it:
+            shingle_lists = []
+            for t in s:
+                if not isinstance(t, str) or not t.strip():
+                    shingle_lists.append([])
+                    continue
+                toks = ws.split(t.strip())
+                if len(toks) < n:
+                    shingle_lists.append([])
+                    continue
+                # dict.fromkeys = order-preserving distinct (parity with
+                # array_distinct / list_distinct first-occurrence order;
+                # order is irrelevant to min anyway)
+                shingle_lists.append(list(dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )))
+            counts = np.fromiter(
+                (len(x) for x in shingle_lists), dtype=np.int64, count=len(s)
+            )
+            flat = [sh.encode("utf-8") for row in shingle_lists for sh in row]
+            out = [sentinel] * len(s)
+            if flat:
+                # UNSIGNED u64 % p — matches shingle_hashes_from and the
+                # SQL oracle's HUGEINT arithmetic
+                x = (fnv64a_numpy(flat) % np.uint64(MERSENNE_P)).astype(
+                    np.int64
+                )
+                m = (a_vec * x[None, :] + b_vec) % p  # (k, n_shingles)
+                offsets = np.zeros(len(s), dtype=np.int64)
+                np.cumsum(counts[:-1], out=offsets[1:])
+                nonempty = counts > 0
+                mins = np.minimum.reduceat(m, offsets[nonempty], axis=1)
+                idxs = np.flatnonzero(nonempty)
+                for j, row_idx in enumerate(idxs):
+                    out[row_idx] = mins[:, j].tolist()
+            yield pd.Series(out, index=s.index)
+
+    return _sig(text)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -194,9 +281,16 @@ def minhash_lsh_candidates(
     n: int = 3,
     bucket_cap: int = 1000,
     observation: "object | None" = None,
+    impl: str = "expr",
 ) -> DataFrame:
     """LSH candidate pairs: split the k-row signature into ``bands`` bands,
     bucket by (band_idx, band_signature), emit pairs sharing ≥1 bucket.
+
+    ``impl='arrow'`` computes the signature with the vectorized numpy
+    kernel (minhash_signature_arrow_col — ~an order of magnitude less
+    per-row cost than the interpreted JVM HOF fold); 'expr' stays pure JVM.
+    Both are bit-identical (tests/test_ops.py) — banding/capping/pair
+    generation are shared.
 
     Scale path: rows are capped to the ``bucket_cap`` lowest ids per bucket
     BEFORE any aggregation — a window ``row_number() <= cap`` over
@@ -223,15 +317,18 @@ def minhash_lsh_candidates(
     # feeding the signature expression directly into a generator drops the
     # stage out of WholeStageCodegen into interpreted eval (~30× slower,
     # measured at sf0.1)
-    hashed = _shingled(df, id_col, text_col, n).select(
-        "id",
-        F.transform(
-            F.col("sh"), lambda s: F.pmod(fnv64a_expr(s), F.lit(MERSENNE_P))
-        ).alias("_hs"),
-    )
-    sigd = hashed.select(
-        "id", minhash_sig_from_hashes(F.col("_hs"), k).alias("sig")
-    )
+    if impl == "arrow":
+        sigd = df.select(
+            F.col(id_col).alias("id"),
+            minhash_signature_arrow_col(F.col(text_col), k, n).alias("sig"),
+        )
+    else:
+        hashed = _shingled(df, id_col, text_col, n).select(
+            "id", shingle_hashes_from(F.col("sh")).alias("_hs")
+        )
+        sigd = hashed.select(
+            "id", minhash_sig_from_hashes(F.col("_hs"), k).alias("sig")
+        )
     withband = sigd.select(
         "id",
         *[
@@ -295,6 +392,7 @@ def near_dup_pairs(
     threshold: float = 0.5,
     bucket_cap: int = 1000,
     observation: "object | None" = None,
+    impl: str = "expr",
 ) -> DataFrame:
     """End-to-end near-duplicate detection — the composed 100 TB shape:
     MinHash+LSH proposes candidate pairs (O(n·bands) shuffle, hot buckets
@@ -305,7 +403,7 @@ def near_dup_pairs(
     recall is the LSH recall.
     """
     cand = minhash_lsh_candidates(
-        df, id_col, text_col, k, bands, n, bucket_cap, observation
+        df, id_col, text_col, k, bands, n, bucket_cap, observation, impl
     )
     sh = _shingled(df, id_col, text_col, n).where(F.size("sh") > 0)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))

@@ -306,9 +306,11 @@ SELECT id_a, id_b FROM lsh_cand ORDER BY id_a, id_b
 # --------------------------------------------------------------------------
 
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the Arrow/numpy signature path (the scale path) — the SQL
+    oracle and the expr-impl parity test both pin it."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.near_dup_pairs(
-        docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5
+        docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5, impl="arrow"
     ).orderBy("id_a", "id_b")
 
 

@@ -145,6 +145,31 @@ def test_simhash_near_for_near_texts(spark):
     assert out[4] == 0 and out[5] == 0
 
 
+def test_minhash_signature_arrow_matches_expr(spark):
+    """The vectorized numpy MinHash signature must be bit-identical to the
+    JVM expression path (tokens, shingling, unsigned-u64 fold into [0,p),
+    (a*x+b) mod p, empty-set sentinel) on every text shape."""
+    from pyspark.sql import functions as FF
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, None), (3, ""), (4, "  "), (5, "two toks"),
+        (6, "exactly three tokens here no wait five"),
+        (7, "café 中文 naïve unicode shingles everywhere today ok"),
+        (8, "rep rep rep rep rep rep rep"),  # duplicate shingles
+    ] + [(100 + i, f"doc {i} body w{i % 5} w{(i * 7) % 11} w{(i * 3) % 13} tail{i % 2}")
+         for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashed = dedup._shingled(df, "doc_id", "text", 3).select(
+        "id", dedup.shingle_hashes_from(FF.col("sh")).alias("hs"))
+    a = {r["id"]: r["s"] for r in hashed.select(
+        "id", dedup.minhash_sig_from_hashes(FF.col("hs"), 16).alias("s")).collect()}
+    b = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", dedup.minhash_signature_arrow_col(FF.col("text"), 16, 3).alias("s")
+    ).collect()}
+    assert a == b
+
+
 def test_simhash_arrow_matches_expr(spark):
     """The vectorized numpy SimHash (scale path) must be bit-identical to
     the pure-JVM expression impl on every shape: plain text, NULL, empty,

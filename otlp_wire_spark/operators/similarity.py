@@ -94,6 +94,79 @@ def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     return acc.cast("int")
 
 
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k, BLAS path — the scale form of cosine_topk.
+
+    The expression kernel evaluates one interpreted dot product per
+    (query, candidate) pair (higher-order functions are CodegenFallback);
+    this kernel broadcasts the L2-normalized query matrix to executors and
+    computes each corpus Arrow batch's scores as ONE ``batch @ Q.T``
+    matmul, emitting only a per-batch partial top-k (≤ k rows per query
+    per batch) so the final global rank runs over partitions×k×|Q| rows,
+    never the corpus. Same semantics as cosine_topk: self-match excluded,
+    cosine rounded to 4dp, ties by ascending corpus id — parity-pinned by
+    tests/test_ops.py."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qrows = queries.select(id_col, vec_col).collect()  # small by contract
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(map(float, r[1])) for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, Qn))
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("c_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, qn = bq.value
+        nq = len(ids_q)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.array([list(map(float, v)) for v in pdf[vec_col]], dtype=np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = np.round(Cn @ qn.T, 4)  # (batch, nq)
+            out_q, out_c, out_s = [], [], []
+            for j in range(nq):
+                col = S[:, j]
+                mask = c_ids != ids_q[j]  # exclude self-match
+                cand = np.flatnonzero(mask)
+                if not len(cand):
+                    continue
+                # partial top-k: order by (-cosine, c_id) — lexsort keys
+                # are applied last-key-primary
+                order = cand[np.lexsort((c_ids[cand], -col[cand]))][:k]
+                out_q.extend([ids_q[j]] * len(order))
+                out_c.extend(c_ids[order].tolist())
+                out_s.extend(col[order].tolist())
+            yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "cosine": out_s})
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
+
+
 def ivf_centroids(dim: int, n_centroids: int = 8, seed: int = 3) -> list[list[float]]:
     """Deterministic unit 'centroids' (sin-hash, no RNG state) — the coarse
     quantizer of an IVF index. A real deployment would k-means these; the

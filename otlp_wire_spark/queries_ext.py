@@ -373,8 +373,10 @@ FROM hashes ORDER BY doc_id
 # --------------------------------------------------------------------------
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k via the BLAS block-matmul path (scale form) — the DuckDB
+    oracle and the expr-kernel parity test both pin it."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
+    return similarity.cosine_topk_arrow(emb, emb.where(F.col("vec_id") < 5), k=3)
 
 
 SQL_COSINE_TOPK = """

@@ -245,6 +245,21 @@ def test_lsh_ann_subset_of_exact_scores(spark):
         assert exact[(r["q_id"], r["c_id"])] == r["cosine"]
 
 
+def test_cosine_topk_arrow_matches_expr(spark):
+    """The BLAS block-matmul top-k (scale path) must return exactly the
+    expression kernel's rows: same neighbors, same 4dp cosines, same
+    tie-breaks, self-match excluded."""
+    dim = 16
+    vecs = [(i, [math.sin(i * 0.9 + d * 1.1) for d in range(dim)]) for i in range(120)]
+    vecs.append((500, list(vecs[11][1])))  # duplicate → cosine 1.0 + tie
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 6)
+    a = [tuple(r) for r in similarity.cosine_topk(df, q, k=5).collect()]
+    b = [tuple(r) for r in similarity.cosine_topk_arrow(df, q, k=5).collect()]
+    assert a == b
+    assert len(a) == 6 * 5
+
+
 def test_textstats_edge_cases(spark):
     df = spark.createDataFrame(
         [

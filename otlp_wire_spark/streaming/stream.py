@@ -88,6 +88,30 @@ def streaming_route(
     return writer.start()
 
 
+def streaming_exact_dedup(
+    pages_stream: DataFrame,
+    text_col: str = "text",
+    watermark_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen row per byte-identical text,
+    state maintained ACROSS micro-batches via dropDuplicates.
+
+    Pass ``watermark_col`` in production so Spark can expire state for
+    texts older than the watermark (unbounded state otherwise — fine for
+    bounded replays/tests, fatal for an unbounded stream). Note the
+    batch/stream semantic difference, by design: batch exact_dedup keeps
+    the MIN-id representative (retry-idempotent); a stream cannot know the
+    min id before seeing all rows, so the streaming contract is FIRST-SEEN
+    (stable under replays of the same file order)."""
+    keyed = pages_stream.withColumn("_h", F.md5(F.col(text_col)))
+    if watermark_col is not None:
+        # state expires once the event-time watermark passes a key
+        keyed = keyed.withWatermark(watermark_col, watermark)
+        return keyed.dropDuplicatesWithinWatermark(["_h"]).drop("_h")
+    return keyed.dropDuplicates(["_h"]).drop("_h")
+
+
 def windowed_band_counts(
     pages_stream: DataFrame,
     window: str = "1 minute",

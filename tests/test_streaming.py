@@ -7,6 +7,7 @@ import glob
 import json
 import os
 
+import pyspark.sql.functions as F
 import pytest
 
 from otlp_wire_spark.fixtures import oracle
@@ -101,6 +102,35 @@ def test_stateful_running_host_counters(spark, src_dir):
         w[1] += e.record_count
         w[2] += len(oracle.html(i))
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_streaming_exact_dedup_across_microbatches(spark, src_dir):
+    """Dedup state must survive across micro-batches: the drained output
+    has exactly one row per distinct text (same count as the batch
+    answer), each a genuine input row for that text."""
+    from otlp_wire_spark.streaming.stream import streaming_exact_dedup
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = read_pages_stream(spark, src_dir, schema, max_files_per_trigger=2)
+    q = (
+        streaming_exact_dedup(stream, text_col="text")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT page_id, text FROM dedup_stream").collect()
+    batch = spark.read.parquet(src_dir)
+    n_distinct = batch.select(F.md5("text")).distinct().count()
+    assert len(got) == n_distinct
+    # each surviving row is a true (page_id, text) pair, one per text
+    want = {r["page_id"]: r["text"] for r in batch.select("page_id", "text").collect()}
+    texts = [r["text"] for r in got]
+    assert len(set(texts)) == len(texts)
+    for r in got:
+        assert want[r["page_id"]] == r["text"]
 
 
 def test_windowed_band_counts_with_watermark(spark, src_dir, tmp_path_factory):

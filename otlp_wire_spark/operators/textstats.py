@@ -8,6 +8,9 @@ codegen'd per-row scores a 100 TB curation run computes on every document
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -120,6 +123,43 @@ def rolling_fingerprint_col(text: Column, k: int = 8) -> Column:
         )
     )
     return F.when(n_windows < 1, _fnv(t)).otherwise(windows_min)
+
+
+def rolling_fingerprint_arrow_col(text: Column, k: int = 8) -> Column:
+    """Vectorized rolling fingerprint — the scale path: per Arrow batch,
+    ALL k-char windows of all rows are hashed in one numpy FNV call and
+    segment-min'd per row (signed int64 min, same as array_min). The JVM
+    expression path folds one interpreted FNV per window (O(len) folds per
+    row — the dominant per-row cost on long documents); this kernel is the
+    same math at matrix speed, parity-pinned by tests/test_ops.py."""
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    from otlp_wire_spark.functions.fnv import fnv64a_numpy
+
+    @F.pandas_udf(LongType())
+    def _rfp(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            window_lists = []
+            for t in s:
+                t = t if isinstance(t, str) else ""
+                if len(t) < k:
+                    window_lists.append([t.encode("utf-8")])  # degenerate
+                else:
+                    window_lists.append(
+                        [t[i : i + k].encode("utf-8") for i in range(len(t) - k + 1)]
+                    )
+            counts = np.fromiter(
+                (len(x) for x in window_lists), dtype=np.int64, count=len(s)
+            )
+            flat = [w for row in window_lists for w in row]
+            h = fnv64a_numpy(flat).view(np.int64)
+            offsets = np.zeros(len(s), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(h, offsets)
+            yield pd.Series(mins, index=s.index)
+
+    return _rfp(text)
 
 
 def fingerprint_col(text: Column) -> Column:

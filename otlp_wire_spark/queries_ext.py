@@ -542,10 +542,12 @@ FROM h ORDER BY media_id
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling fingerprint via the Arrow/numpy scale path — the SQL oracle
+    and the expr-kernel parity test both pin it."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return docs.select(
         "doc_id",
-        textstats.rolling_fingerprint_col(F.col("text"), k=8).alias("rfp"),
+        textstats.rolling_fingerprint_arrow_col(F.col("text"), k=8).alias("rfp"),
     ).orderBy("doc_id")
 
 

@@ -295,6 +295,27 @@ def test_textstats_edge_cases(spark):
     ).astype(np.int64)
 
 
+def test_rolling_fingerprint_arrow_matches_expr(spark):
+    """Vectorized rolling fingerprint must equal the JVM window fold on
+    every shape: NULL, empty, shorter-than-window (degenerate = whole-text
+    hash), exactly-window, long, multi-byte chars (windows are CHARACTER
+    windows, hashed over their UTF-8 bytes)."""
+    rows = [
+        (1, None), (2, ""), (3, "short"), (4, "exactly8"), (5, "exactly8!"),
+        (6, "the quick brown fox jumps over the lazy dog " * 10),
+        (7, "café 中文 naïve — unicode windows here"),
+    ] + [(100 + i, f"doc {i} " + " ".join(f"w{(i * j) % 13}" for j in range(20)))
+         for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", textstats.rolling_fingerprint_col(F.col("text"), 8).alias("f")
+    ).collect()}
+    b = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", textstats.rolling_fingerprint_arrow_col(F.col("text"), 8).alias("f")
+    ).collect()}
+    assert a == b
+
+
 def test_multimodal_features_and_quarantine(spark):
     media = generate_media(spark, 300)
     out = {r["media_id"]: r for r in extract_media_features(media).collect()}

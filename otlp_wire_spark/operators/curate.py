@@ -21,14 +21,23 @@ from otlp_wire_spark.operators.dedup import exact_dedup_rows
 def score_documents(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """Attach pred_lang / quality (unrounded double) / n_tokens — one
-    narrow projection, no shuffle."""
+    """Attach pred_lang / quality (unrounded double) / n_tokens — narrow
+    projections, no shuffle. Tokenization runs ONCE per row: the token
+    array (and its lowercased twin) are materialized as projection aliases
+    and every scorer reads the columns (the single-column scorer forms
+    would re-run the regex split per reference — ~10× per row)."""
     t = F.col(text_col)
-    return df.select(
-        "*",
-        textstats.lang_id_col(t).alias("pred_lang"),
-        textstats.quality_score(t).alias("quality"),
-        textstats.ws_token_count(t).alias("n_tokens"),
+    tokd = df.withColumn("_toks", textstats.tokens_norm_col(t)).withColumn(
+        "_tl", F.transform(F.col("_toks"), F.lower)
+    )
+    return (
+        tokd.withColumn("pred_lang", textstats.lang_id_from_tokens(F.col("_tl")))
+        .withColumn(
+            "quality",
+            textstats.quality_from_tokens(t, F.col("_toks"), F.col("_tl")),
+        )
+        .withColumn("n_tokens", F.size(F.col("_toks")).cast("int"))
+        .drop("_toks", "_tl")
     )
 
 

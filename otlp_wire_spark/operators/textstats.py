@@ -70,6 +70,49 @@ def lang_id_col(text: Column) -> Column:
     return out.otherwise(F.lit("unknown"))
 
 
+def tokens_norm_col(text: Column) -> Column:
+    """Whitespace tokens; NULL/blank → empty array. Materialize this ONCE
+    per row (projection alias) and feed the *_from_tokens scorers below —
+    the single-column convenience forms re-run the regex split per
+    reference (~10× per row in a full scoring pass)."""
+    return F.when(
+        text.isNull() | (F.length(F.trim(text)) == 0),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def lang_id_from_tokens(toks_lower: Column) -> Column:
+    """lang_id_col over a MATERIALIZED lowercased-token column — identical
+    values, no per-reference re-tokenization."""
+    scores = {
+        k: F.size(F.array_intersect(toks_lower, F.array(*[F.lit(w) for w in v])))
+        for k, v in LANG_MARKERS.items()
+    }
+    keys = list(LANG_MARKERS)
+    mx = F.greatest(*[scores[k] for k in keys])
+    out = F.when(mx == 0, F.lit("unknown"))
+    for k in keys:
+        out = out.when(scores[k] == mx, F.lit(k))
+    return out.otherwise(F.lit("unknown"))
+
+
+def quality_from_tokens(
+    text: Column, toks: Column, toks_lower: Column
+) -> Column:
+    """quality_score over materialized token columns — same formula, same
+    doubles (IEEE arithmetic order unchanged)."""
+    n = F.size(toks)
+    hits = F.size(F.filter(toks_lower, lambda t: t.isin(*STOPWORDS_EN)))
+    ratio = F.when(n == 0, F.lit(0.0)).otherwise(hits / n).cast("double")
+    avg_len = F.when(n == 0, F.lit(0.0)).otherwise(F.length(F.trim(text)) / n)
+    score = (
+        F.lit(0.5) * F.least(n / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - ratio)
+        + F.lit(0.2) * F.least(avg_len / F.lit(10.0), F.lit(1.0))
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(score).cast("double")
+
+
 def stopword_ratio(text: Column) -> Column:
     """Fraction of whitespace tokens that are EN stopwords; 0 for empty.
     Unrounded: rounding of ratio-of-small-ints values (e.g. 3/32) is

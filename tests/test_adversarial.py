@@ -258,9 +258,13 @@ def test_typed_recs_field_selection(typed_results):
 # disagree or the parser throw — only accept (values) or reject (error)
 # ---------------------------------------------------------------------------
 
+# alphabet includes the marker prefixes/punctuation of EVERY grammar —
+# severity/kv/trace_id/ref/depth markers can all form at random, so the
+# property pins parity across the full extraction surface (incl. the new
+# trace/ref/depth fields in PARSED_COLS)
 ascii_junk = st.text(
     alphabet=st.sampled_from(
-        list("abcdefghij <>=;:/kv&%$#@!()[]{}\n\tseverity_rcp0123456789")
+        list("abcdefghij <>=;:,/kv&%$#@!()[]{}\n\tseverity_trcpdf0123456789")
     ),
     max_size=200,
 )

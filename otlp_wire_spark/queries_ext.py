@@ -225,6 +225,44 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# sequence packing (LLM-training "pack and split"): distributed two-pass
+# prefix sum vs the oracle's single global window — same packing exactly
+# --------------------------------------------------------------------------
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_wire_spark.operators.pack import pack_sequences
+    from otlp_wire_spark.operators.textstats import tokens_norm_col
+
+    docs = _t(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", F.size(tokens_norm_col(F.col("text"))).alias("n_tokens")
+    )
+    return pack_sequences(counted, seq_len=256).orderBy("seq_id", "doc_id")
+
+
+SQL_PACK_SEQUENCES = rf"""
+WITH counted AS (
+  SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents
+), off AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS tok_before
+  FROM counted WHERE n_tokens > 0
+)
+SELECT s.seq_id, o.doc_id,
+  greatest(0, s.seq_id * 256 - o.tok_before)::BIGINT AS doc_tok_start,
+  least(o.n_tokens, (s.seq_id + 1) * 256 - o.tok_before)::BIGINT AS doc_tok_end,
+  (least(o.n_tokens, (s.seq_id + 1) * 256 - o.tok_before)
+   - greatest(0, s.seq_id * 256 - o.tok_before))::BIGINT AS n_toks
+FROM off o, LATERAL unnest(range(o.tok_before // 256,
+                                 (o.tok_before + o.n_tokens - 1) // 256 + 1))
+     AS s(seq_id)
+ORDER BY s.seq_id, o.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs (exact — the oracle for LSH)
 # --------------------------------------------------------------------------
 
@@ -571,6 +609,7 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 QUERIES_EXT = {
     "curate_corpus": q_curate_corpus,
     "dedup_rows": q_dedup_rows,
+    "pack_sequences": q_pack_sequences,
     "rolling_fingerprint": q_rolling_fingerprint,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -589,6 +628,7 @@ QUERIES_EXT = {
 ORACLES_EXT = {
     "curate_corpus": SQL_CURATE_CORPUS,
     "dedup_rows": SQL_DEDUP_ROWS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "token_stats": SQL_TOKEN_STATS,
     "quality_scores": SQL_QUALITY_SCORES,

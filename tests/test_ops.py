@@ -260,6 +260,38 @@ def test_cosine_topk_arrow_matches_expr(spark):
     assert len(a) == 6 * 5
 
 
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: every sequence except the last carries exactly
+    seq_len tokens; each document's segments tile it exactly (contiguous,
+    ordered, summing to its token count); zero-token docs are dropped; the
+    distributed prefix sum must hold regardless of partitioning."""
+    from otlp_wire_spark.operators.pack import pack_sequences
+
+    rows = [(i, (i * 7) % 23) for i in range(300)]  # includes n_tokens == 0
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int").repartition(7)
+    out = pack_sequences(df, seq_len=64).collect()
+    per_seq: dict[int, int] = {}
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_toks"]
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        assert 0 < r["n_toks"] <= 64
+    total = sum(n for _, n in rows)
+    assert sum(per_seq.values()) == total
+    last = max(per_seq)
+    for sid, n in per_seq.items():
+        assert n == 64 or sid == last, (sid, n)
+    want_n = dict(rows)
+    assert set(per_doc) == {i for i, n in rows if n > 0}
+    for doc_id, segs in per_doc.items():
+        segs.sort(key=lambda r: r["doc_tok_start"])
+        assert segs[0]["doc_tok_start"] == 0
+        assert segs[-1]["doc_tok_end"] == want_n[doc_id]
+        for a, b in zip(segs, segs[1:]):
+            assert a["doc_tok_end"] == b["doc_tok_start"]  # contiguous tiling
+            assert a["seq_id"] + 1 == b["seq_id"]  # split only at boundaries
+
+
 def test_textstats_edge_cases(spark):
     df = spark.createDataFrame(
         [

@@ -155,6 +155,28 @@ def shard_manifest(routed: DataFrame, payload_col: str = "html") -> DataFrame:
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table — the co-located-join primitive: two tables
+    bucketed on the same key with the same bucket count join WITHOUT any
+    shuffle exchange (each bucket pairs with its twin; at 100 TB this
+    removes the dominant network pass of every recurring join against the
+    table). Sorted buckets additionally skip the sort of a sort-merge
+    join. Pinned by tests/test_bucketing.py: the join plan over two
+    bucketed tables must contain ZERO (non-broadcast) Exchange nodes."""
+    w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def salted_host_stats(
     df: DataFrame, host_col: str = "url_host", salt_buckets: int = 16
 ) -> DataFrame:

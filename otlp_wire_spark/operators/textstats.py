@@ -205,6 +205,20 @@ def rolling_fingerprint_arrow_col(text: Column, k: int = 8) -> Column:
     return _rfp(text)
 
 
+def vocab_counts(df, text_col: str = "text"):
+    """Corpus-wide token frequencies — vocabulary building. explode →
+    groupBy(token): hash aggregation does map-side partial combine, so hot
+    tokens ('the') arrive at reducers as ONE partial row per map task, not
+    10^9 raw rows — the skew-safe shape by construction (no salting
+    needed for counts)."""
+    toks = tokens_norm_col(F.col(text_col))
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def fingerprint_col(text: Column) -> Column:
     """64-bit content fingerprint: FNV-64a of the raw text (bit pattern as
     LongType). NULL text hashes as empty (reference absent→basis analog)."""

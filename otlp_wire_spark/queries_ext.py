@@ -85,6 +85,26 @@ FROM documents ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# vocabulary building: corpus-wide token top-k (deterministic tiebreak)
+# --------------------------------------------------------------------------
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        textstats.vocab_counts(docs, "text")
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+SQL_VOCAB_TOPK = f"""
+SELECT t.t AS token, count(*) AS n
+FROM (SELECT {_SQL_TOKS} AS toks FROM documents), unnest(toks) AS t(t)
+GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
 # quality scoring
 # --------------------------------------------------------------------------
 
@@ -612,6 +632,7 @@ QUERIES_EXT = {
     "pack_sequences": q_pack_sequences,
     "rolling_fingerprint": q_rolling_fingerprint,
     "token_stats": q_token_stats,
+    "vocab_topk": q_vocab_topk,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -631,6 +652,7 @@ ORACLES_EXT = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "token_stats": SQL_TOKEN_STATS,
+    "vocab_topk": SQL_VOCAB_TOPK,
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id": SQL_LANG_ID,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,

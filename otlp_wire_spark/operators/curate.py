@@ -15,7 +15,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from otlp_wire_spark.operators import textstats
-from otlp_wire_spark.operators.dedup import exact_dedup_rows
+from otlp_wire_spark.operators.dedup import _shingled, exact_dedup_rows
+
+# Conservative, engine-portable redaction patterns (same RE semantics in
+# Java regex and DuckDB's RE2): no backrefs, no lookaround, explicit classes.
+REDACTION_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+]
+
+
+def redact_text(text_col: F.Column) -> F.Column:
+    """PII-style scrubbing: replace email/phone/IPv4 shapes with typed
+    placeholders — pure regexp_replace chain, codegen'd, zero shuffle.
+    Patterns are deliberately lookaround-free so the DuckDB oracle applies
+    the literally identical regexes."""
+    out = text_col
+    for _, pat, repl in REDACTION_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: ids of corpus documents sharing ANY word
+    n-gram with the benchmark set. Distributed shape: explode both sides to
+    (shingle) rows and LEFT SEMI join on the shingle — the benchmark side
+    is deduplicated first and is tiny in practice (broadcast-able), the
+    corpus is never collected or re-scanned."""
+    c = _shingled(corpus, id_col, text_col, n).select(
+        "id", F.explode("sh").alias("g")
+    )
+    b = (
+        _shingled(benchmark, id_col, text_col, n)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "g", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
 
 
 def score_documents(

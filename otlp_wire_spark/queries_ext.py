@@ -245,6 +245,105 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# benchmark decontamination: corpus docs sharing any 3-gram with the
+# benchmark slice (doc_id % 101 == 0), via distributed shingle semi-join
+# --------------------------------------------------------------------------
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_wire_spark.operators.curate import contaminated_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 101 == 0)
+    return contaminated_ids(docs, benchmark, "doc_id", "text", n=3).orderBy(
+        "doc_id"
+    )
+
+
+SQL_DECONTAMINATE = rf"""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(t)-1),
+                                 i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+  WHERE len(t) >= 3
+), b AS (
+  SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 101 = 0)
+)
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, unnest(s) AS g FROM sh) x
+WHERE g IN (SELECT g FROM b)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# PII-style redaction: email/phone/IPv4 shapes → typed placeholders; the
+# oracle applies the LITERALLY identical regexes (lookaround-free → same
+# semantics in Java regex and DuckDB RE2)
+# --------------------------------------------------------------------------
+
+def q_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_wire_spark.operators.curate import redact_text
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    # plant PII shapes deterministically so redaction has real work
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"),
+                     F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0,
+            F.concat(F.lit(" call +1 (555) 010-"),
+                     F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 13 == 0,
+            F.concat(F.lit(" from 10.0."), (d % 256).cast("string"),
+                     F.lit(".7")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", redact_text(planted).alias("clean_text")
+    ).orderBy("doc_id")
+
+
+def _sql_redact() -> str:
+    from otlp_wire_spark.operators.curate import REDACTION_PATTERNS
+
+    expr = "planted"
+    for _, pat, repl in REDACTION_PATTERNS:
+        # DuckDB string literals are RAW (no backslash processing) — the
+        # regex goes in verbatim, only quotes need doubling
+        pat_sql = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+    coalesce(text, '')
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || doc_id::STRING || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' call +1 (555) 010-' || lpad((doc_id % 10000)::STRING, 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' from 10.0.' || (doc_id % 256)::STRING || '.7'
+            ELSE '' END AS planted
+  FROM documents
+)
+SELECT doc_id, {expr} AS clean_text FROM p ORDER BY doc_id
+"""
+
+
+SQL_REDACT_TEXT = _sql_redact()
+
+
+# --------------------------------------------------------------------------
 # sequence packing (LLM-training "pack and split"): distributed two-pass
 # prefix sum vs the oracle's single global window — same packing exactly
 # --------------------------------------------------------------------------
@@ -628,8 +727,10 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 
 QUERIES_EXT = {
     "curate_corpus": q_curate_corpus,
+    "decontaminate": q_decontaminate,
     "dedup_rows": q_dedup_rows,
     "pack_sequences": q_pack_sequences,
+    "redact_text": q_redact_text,
     "rolling_fingerprint": q_rolling_fingerprint,
     "token_stats": q_token_stats,
     "vocab_topk": q_vocab_topk,
@@ -648,8 +749,10 @@ QUERIES_EXT = {
 
 ORACLES_EXT = {
     "curate_corpus": SQL_CURATE_CORPUS,
+    "decontaminate": SQL_DECONTAMINATE,
     "dedup_rows": SQL_DEDUP_ROWS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "redact_text": SQL_REDACT_TEXT,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "token_stats": SQL_TOKEN_STATS,
     "vocab_topk": SQL_VOCAB_TOPK,

@@ -179,13 +179,22 @@ def main() -> None:
         "cosine_topk",
     ]
     all_queries = {**QUERIES, **QUERIES_EXT}
+    # median of q_trials per query (first run warms plan/JIT, not timed):
+    # single-shot numbers swing ±30% on this box (SMT + shared page cache)
+    q_trials = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "3"))
+    import statistics as _st
+
     for name in bench_queries:
         fn = all_queries.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        fn(spark, sf_dir).collect()  # warm
+        durs = []
+        for _ in range(q_trials):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            durs.append(time.perf_counter() - t0)
+        timings[name] = round(_st.median(durs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

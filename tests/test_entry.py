@@ -69,6 +69,13 @@ def test_query_matches_oracle(spark, duck, name):
     assert spark_set == duck_set, f"{name}: values differ"
 
 
+def test_every_query_is_oracled():
+    """Registry invariant: every queries() entry has an oracle_sql() entry
+    and vice versa — zero rows-only checks (the whole surface is value-
+    hash-graded)."""
+    assert set(entry_mod.queries()) == set(entry_mod.oracle_sql())
+
+
 def test_entry_runs(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()

@@ -2,19 +2,23 @@
 SimHash, n-gram Jaccard, embedding-cosine.
 
 Not part of the reference's surface (it routes telemetry), but first-class
-for the 100 TB training-data pipeline this engine targets. Everything below
-is pure JVM expressions (codegen, no Python): shingle hashing reuses the
-bit-exact FNV-64a fold (functions/fnv.py), so every stage here has an
-independent DuckDB-SQL oracle.
+for the 100 TB training-data pipeline this engine targets. Every operator
+has TWO parity-pinned implementations where it's hot: a JVM expression
+form (the oracle-shaped definition; note Spark higher-order functions are
+CodegenFallback, i.e. interpreted per element) and an Arrow/numpy kernel
+(the scale path — batch-vectorized FNV + reduceat segment ops). Shingle
+hashing reuses the bit-exact FNV-64a fold (functions/fnv.py), so every
+stage here has an independent DuckDB-SQL oracle.
 
 Scale notes:
 - exact_dedup: one hash-shuffle on the digest; at 100 TB use a 128-bit
   digest (md5) — 64-bit birthday-collides around 4×10^9 docs.
 - ngram-Jaccard all-pairs is O(n²) — correctness oracle ONLY; the scale
   path is minhash_lsh: O(n · bands) shuffle, candidates ∝ true near-dups,
-  verified by exact Jaccard on the (tiny) candidate set.
+  verified by exact Jaccard on the (tiny) candidate set (near_dup_pairs).
 - LSH self-join keys are (band_idx, band_signature) — high cardinality, no
-  skew; hot buckets (boilerplate pages) are bounded by a per-bucket cap.
+  skew; hot buckets (boilerplate pages) are pre-capped by a window BEFORE
+  aggregation, truncation observable via Observation.
 """
 
 from __future__ import annotations

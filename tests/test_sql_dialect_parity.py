@@ -38,6 +38,10 @@ SHARED_DIALECT = [
     "wire_record_counts",
     "wire_attr_resolution",
     "wire_quarantine_counts",
+    "wire_trace_validation",
+    "wire_ref_validation",
+    "wire_depth_guard",
+    "dedup_rows",
 ]
 
 

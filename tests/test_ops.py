@@ -292,6 +292,41 @@ def test_pack_sequences_invariants(spark):
             assert a["seq_id"] + 1 == b["seq_id"]  # split only at boundaries
 
 
+def test_pack_sequences_property_matches_python_packer(spark):
+    """Property: for random token-count profiles, the distributed packer
+    must emit exactly the rows of a trivial sequential pure-Python packer."""
+    from hypothesis import given, settings, strategies as st
+
+    from otlp_wire_spark.operators.pack import pack_sequences
+
+    def python_pack(counts: list[int], cap: int):
+        out, before = [], 0
+        for doc_id, n in enumerate(counts):
+            if n <= 0:
+                before += max(0, n)
+                continue
+            for seq in range(before // cap, (before + n - 1) // cap + 1):
+                s = max(0, seq * cap - before)
+                e = min(n, (seq + 1) * cap - before)
+                out.append((seq, doc_id, s, e, e - s))
+            before += n
+        return sorted(out)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=50),
+        st.sampled_from([16, 64]),
+    )
+    def run(counts, cap):
+        df = spark.createDataFrame(
+            list(enumerate(counts)), "doc_id long, n_tokens int"
+        ).repartition(5)
+        got = sorted(tuple(r) for r in pack_sequences(df, seq_len=cap).collect())
+        assert got == python_pack(counts, cap)
+
+    run()
+
+
 def test_textstats_edge_cases(spark):
     df = spark.createDataFrame(
         [

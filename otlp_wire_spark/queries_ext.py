@@ -85,6 +85,38 @@ FROM documents ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# corpus length-distribution stats: exact interpolated percentiles of the
+# token-count distribution (Spark `percentile` == DuckDB `quantile_cont`,
+# both (n-1)·q linear interpolation over the sorted values)
+# --------------------------------------------------------------------------
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = textstats.ws_token_count(F.col("text"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).cast("long").alias("total_tokens"),
+        F.percentile(n, F.lit(0.5)).cast("double").alias("p50_tokens"),
+        F.percentile(n, F.lit(0.9)).cast("double").alias("p90_tokens"),
+        F.max(n).cast("int").alias("max_tokens"),
+    )
+
+
+SQL_CORPUS_STATS = rf"""
+WITH c AS (
+  SELECT CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+  FROM documents
+)
+SELECT count(*) AS n_docs, sum(n)::BIGINT AS total_tokens,
+       quantile_cont(n, 0.5)::DOUBLE AS p50_tokens,
+       quantile_cont(n, 0.9)::DOUBLE AS p90_tokens,
+       max(n)::INT AS max_tokens
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # vocabulary building: corpus-wide token top-k (deterministic tiebreak)
 # --------------------------------------------------------------------------
 
@@ -726,6 +758,7 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 
 
 QUERIES_EXT = {
+    "corpus_stats": q_corpus_stats,
     "curate_corpus": q_curate_corpus,
     "decontaminate": q_decontaminate,
     "dedup_rows": q_dedup_rows,
@@ -748,6 +781,7 @@ QUERIES_EXT = {
 }
 
 ORACLES_EXT = {
+    "corpus_stats": SQL_CORPUS_STATS,
     "curate_corpus": SQL_CURATE_CORPUS,
     "decontaminate": SQL_DECONTAMINATE,
     "dedup_rows": SQL_DEDUP_ROWS,

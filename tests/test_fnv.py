@@ -120,6 +120,31 @@ def test_jvm_expr_byte_exact_on_non_ascii(spark):
 
 
 @pytest.mark.usefixtures("spark")
+def test_property_fnv_expr_matches_pure_on_unicode(spark):
+    """Property: for arbitrary unicode strings (multi-byte, astral-plane,
+    mixed), the JVM expression FNV and uint64-space shards must equal the
+    pure-Python byte-wise definition."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.text(max_size=40), min_size=1, max_size=40))
+    def run(texts):
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "i long, k string")
+        from pyspark.sql import functions as FF
+
+        out = df.select(
+            "i", fnv64a_expr("k").alias("h"), shard_expr("k", 7).alias("s7")
+        ).collect()
+        for r in out:
+            want = fnv64a(texts[r["i"]].encode("utf-8"))
+            assert r["h"] == np.uint64(want).astype(np.int64), texts[r["i"]]
+            assert r["s7"] == want % 7, texts[r["i"]]
+
+    run()
+
+
+@pytest.mark.usefixtures("spark")
 def test_jvm_expr_plan_has_no_python(spark):
     from pyspark.sql import functions as F
 

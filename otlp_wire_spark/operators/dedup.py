@@ -23,11 +23,29 @@ Scale notes:
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Exact Python mirror of the JVM tokenization (tokens_col): F.trim strips
+# ASCII SPACES only (not \t / NBSP — Python str.strip() would), Java regex
+# \s is exactly [ \t\n\x0B\f\r] (ASCII — Python's \s adds unicode spaces),
+# and F.split's default limit=-1 KEEPS leading/trailing empty fields,
+# which re.split also does. Any shortcut here silently breaks the
+# arrow-vs-expr bit parity on \t-leading or NBSP-containing text.
+_JVM_WS = _re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def _jvm_tokens(t: object) -> list[str]:
+    if not isinstance(t, str):
+        return []
+    st = t.strip(" ")
+    if not st:
+        return []
+    return _JVM_WS.split(st)
 
 from otlp_wire_spark.functions.fnv import fnv64a_expr
 
@@ -165,14 +183,11 @@ def minhash_signature_arrow_col(
     minhash_signature_col / the SQL oracle (same tokens, same shingles,
     same (a*x+b) mod p arithmetic in int64) — pinned by tests/test_ops.py.
     """
-    import re as _re
-
     import numpy as np
     from pyspark.sql.types import ArrayType, LongType
 
     from otlp_wire_spark.functions.fnv import fnv64a_numpy
 
-    ws = _re.compile(r"\s+")
     perms = minhash_perms(k)
     a_vec = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
     b_vec = np.array([b for _, b in perms], dtype=np.int64)[:, None]
@@ -184,10 +199,7 @@ def minhash_signature_arrow_col(
         for s in it:
             shingle_lists = []
             for t in s:
-                if not isinstance(t, str) or not t.strip():
-                    shingle_lists.append([])
-                    continue
-                toks = ws.split(t.strip())
+                toks = _jvm_tokens(t)
                 if len(toks) < n:
                     shingle_lists.append([])
                     continue
@@ -479,22 +491,15 @@ def simhash16_arrow_col(text: Column) -> Column:
     the ±1 bit matrix in one shot and segment-sums per row — ~20× faster,
     pinned bit-identical to simhash16_col (and thus to the SQL oracle) by
     tests/test_ops.py."""
-    import re as _re
-
     import numpy as np
     from pyspark.sql.types import IntegerType
 
     from otlp_wire_spark.functions.fnv import fnv64a_numpy
 
-    ws = _re.compile(r"\s+")
-
     @F.pandas_udf(IntegerType())
     def _simhash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in it:
-            token_lists = [
-                ws.split(t.strip()) if isinstance(t, str) and t.strip() else []
-                for t in s
-            ]
+            token_lists = [_jvm_tokens(t) for t in s]
             counts = np.fromiter(
                 (len(x) for x in token_lists), dtype=np.int64, count=len(s)
             )

@@ -46,8 +46,15 @@ def global_token_offsets(
     omap = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
-    # pass 2: parallel within-partition running sums + the offset
-    w = Window.partitionBy("_pid").orderBy(id_col)
+    # pass 2: parallel within-partition running sums + the offset.
+    # Explicit ROWS frame: the default RANGE frame makes duplicate ids
+    # PEERS sharing one cumulative value → overlapping token intervals;
+    # ROWS assigns disjoint offsets (matching the oracle's ROWS BETWEEN).
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
         ranged.withColumn("_local_cum", F.sum(count_col).over(w))
         .withColumn(

@@ -275,9 +275,18 @@ def parse_pages_expr(
     would silently pay for the attrs/text/trace/ref regex scans too. Listing
     the fields you read drops those scans from the plan entirely (pinned by
     tests/test_parse.py::test_fields_subset_prunes_unused_scans).
+
+    Shared intermediates are STAGED as projection aliases before the struct
+    is built: Catalyst re-evaluates non-attribute expressions per reference,
+    so without staging the utf8 validation would re-scan the payload once
+    per extractor, the trace raw value twice, the ref split three times and
+    the depth char-fold twice (the same hazard class fixed in dedup.py).
     """
+    selected = [f for f in ALL_PARSE_FIELDS if fields is None or f in fields]
     h = F.col(html_col)
-    s = F.expr(f"try_validate_utf8({html_col})")
+    staged = df.withColumn("_ps", F.expr(f"try_validate_utf8({html_col})"))
+    helpers = ["_ps"]
+    s = F.col("_ps")
     err = (
         F.when(h.isNull(), F.lit("null_payload"))
         .when(s.isNull(), F.lit("utf8_decode_error"))
@@ -311,18 +320,22 @@ def parse_pages_expr(
     # anything else → field-level error (traces.go:90-124 analog).
     # \z (strict end) not $ — Java's $ matches before a trailing newline,
     # Python's \Z (the oracle anchor) does not; [^;]* can capture \n
-    def _traw() -> Column:
-        return F.try_element_at(
-            F.regexp_extract_all(s, F.lit(r"trace_id=([^;]*);"), F.lit(1)),
-            F.lit(-1),
+    if {"trace_id", "trace_error"} & set(selected):
+        staged = staged.withColumn(
+            "_ptraw",
+            F.try_element_at(
+                F.regexp_extract_all(s, F.lit(r"trace_id=([^;]*);"), F.lit(1)),
+                F.lit(-1),
+            ),
         )
+        helpers.append("_ptraw")
 
     def _trace_id() -> Column:
-        traw = _traw()
+        traw = F.col("_ptraw")
         return F.when(traw.rlike(r"^[0-9a-f]{32}\z"), traw)
 
     def _trace_error() -> Column:
-        traw = _traw()
+        traw = F.col("_ptraw")
         return F.when(
             traw.isNotNull() & (traw != "") & ~traw.rlike(r"^[0-9a-f]{32}\z"),
             F.lit("invalid_trace_id"),
@@ -330,39 +343,55 @@ def parse_pages_expr(
 
     # ref: first match; 4 comma-fields with non-empty type+id
     # (attributes.go:410-438 analog)
-    def _rparts() -> tuple[Column, Column, Column, Column]:
-        rraw = F.try_element_at(
-            F.regexp_extract_all(s, F.lit(r"ref:([^;]*);"), F.lit(1)), F.lit(1)
-        )
-        parts = F.split(rraw, ",", -1)
+    if {"ref_type", "ref_id", "ref_error"} & set(selected):
+        staged = staged.withColumn(
+            "_prraw",
+            F.try_element_at(
+                F.regexp_extract_all(s, F.lit(r"ref:([^;]*);"), F.lit(1)),
+                F.lit(1),
+            ),
+        ).withColumn("_prparts", F.split(F.col("_prraw"), ",", -1))
+        helpers.extend(["_prraw", "_prparts"])
+
+    def _rok() -> Column:
+        parts = F.col("_prparts")
         p1 = F.try_element_at(parts, F.lit(1))
         p2 = F.try_element_at(parts, F.lit(2))
-        r_ok = (F.size(parts) == 4) & (p1 != "") & (p2 != "")
-        return rraw, p1, p2, r_ok
+        return (F.size(parts) == 4) & (p1 != "") & (p2 != "")
 
     def _ref_type() -> Column:
-        rraw, p1, _, r_ok = _rparts()
-        return F.when(rraw.isNotNull() & r_ok, p1)
+        return F.when(
+            F.col("_prraw").isNotNull() & _rok(),
+            F.try_element_at(F.col("_prparts"), F.lit(1)),
+        )
 
     def _ref_id() -> Column:
-        rraw, _, p2, r_ok = _rparts()
-        return F.when(rraw.isNotNull() & r_ok, p2)
+        return F.when(
+            F.col("_prraw").isNotNull() & _rok(),
+            F.try_element_at(F.col("_prparts"), F.lit(2)),
+        )
 
     def _ref_error() -> Column:
-        rraw, _, _, r_ok = _rparts()
-        return F.when(rraw.isNotNull() & ~r_ok, F.lit("invalid_ref"))
+        return F.when(
+            F.col("_prraw").isNotNull() & ~_rok(), F.lit("invalid_ref")
+        )
 
-    # depth guard (P15): iterative paren scan as a codegen'd aggregate fold
-    # over the body's characters — cur/max/bad accumulator, bound at 64
-    def _depth_scan() -> tuple[Column, Column, Column]:
-        draw = F.try_element_at(
-            F.regexp_extract_all(s, F.lit(r"depth:([^;]*);"), F.lit(1)), F.lit(1)
+    # depth guard (P15): iterative paren scan as an aggregate fold over the
+    # body's characters — cur/max/bad accumulator, bound at 64; the scan
+    # struct is staged so nest_depth and nest_error share ONE fold
+    if {"nest_depth", "nest_error"} & set(selected):
+        staged = staged.withColumn(
+            "_pdraw",
+            F.try_element_at(
+                F.regexp_extract_all(s, F.lit(r"depth:([^;]*);"), F.lit(1)),
+                F.lit(1),
+            ),
         )
         delta = lambda ch: (  # noqa: E731
             F.when(ch == "(", 1).when(ch == ")", -1).otherwise(0)
         )
         scan = F.aggregate(
-            F.split(draw, ""),
+            F.split(F.col("_pdraw"), ""),
             F.struct(
                 F.lit(0).alias("cur"), F.lit(0).alias("mx"), F.lit(False).alias("bad")
             ),
@@ -374,19 +403,28 @@ def parse_pages_expr(
                 (acc["bad"] | ((acc["cur"] + delta(ch)) < 0)).alias("bad"),
             ),
         )
-        unbalanced = scan["bad"] | (scan["cur"] != 0)
-        return draw, scan["mx"], unbalanced
+        staged = staged.withColumn("_pdscan", scan)
+        helpers.extend(["_pdraw", "_pdscan"])
+
+    def _unbalanced() -> Column:
+        sc = F.col("_pdscan")
+        return sc["bad"] | (sc["cur"] != 0)
 
     def _nest_depth() -> Column:
-        draw, mx, unb = _depth_scan()
         return F.when(
-            draw.isNotNull() & ~unb & (mx <= MAX_NEST_DEPTH), mx
+            F.col("_pdraw").isNotNull()
+            & ~_unbalanced()
+            & (F.col("_pdscan")["mx"] <= MAX_NEST_DEPTH),
+            F.col("_pdscan")["mx"],
         ).cast("int")
 
     def _nest_error() -> Column:
-        draw, mx, unb = _depth_scan()
-        return F.when(draw.isNotNull() & unb, F.lit("unbalanced")).when(
-            draw.isNotNull() & (mx > MAX_NEST_DEPTH), F.lit("depth_exceeded")
+        return F.when(
+            F.col("_pdraw").isNotNull() & _unbalanced(), F.lit("unbalanced")
+        ).when(
+            F.col("_pdraw").isNotNull()
+            & (F.col("_pdscan")["mx"] > MAX_NEST_DEPTH),
+            F.lit("depth_exceeded"),
         )
 
     builders = {
@@ -403,13 +441,12 @@ def parse_pages_expr(
         "nest_depth": _nest_depth,
         "nest_error": _nest_error,
     }
-    selected = [f for f in ALL_PARSE_FIELDS if fields is None or f in fields]
     ok = err.isNull()
     parsed = F.struct(
         *[F.when(ok, builders[name]()).alias(name) for name in selected],
         err.alias("parse_error"),
     )
-    return df.withColumn("parsed", parsed)
+    return staged.withColumn("parsed", parsed).drop(*helpers)
 
 
 def parse_pages(

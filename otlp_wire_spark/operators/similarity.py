@@ -121,9 +121,9 @@ def cosine_topk_arrow(
     qrows = queries.select(id_col, vec_col).collect()  # small by contract
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(map(float, r[1])) for r in qrows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_norms = np.linalg.norm(Q, axis=1)
     sc = corpus.sparkSession.sparkContext
-    bq = sc.broadcast((q_ids, Qn))
+    bq = sc.broadcast((q_ids, Q, q_norms))
 
     schema = T.StructType(
         [
@@ -134,15 +134,20 @@ def cosine_topk_arrow(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_q, qn = bq.value
+        ids_q, qm, q_norms = bq.value
         nq = len(ids_q)
         for pdf in batches:
             if not len(pdf):
                 continue
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             C = np.array([list(map(float, v)) for v in pdf[vec_col]], dtype=np.float64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-            S = np.round(Cn @ qn.T, 4)  # (batch, nq)
+            # same formula SHAPE as the expr kernel / SQL oracle —
+            # dot / (|q|·|c|), never pre-normalized vectors — and Spark's
+            # HALF_UP (round half away from zero), not numpy's half-even:
+            # both choices remove rounding-boundary divergence sources
+            dots = C @ qm.T  # (batch, nq)
+            raw = dots / (np.linalg.norm(C, axis=1)[:, None] * q_norms[None, :])
+            S = np.copysign(np.floor(np.abs(raw) * 1e4 + 0.5), raw) / 1e4
             out_q, out_c, out_s = [], [], []
             for j in range(nq):
                 col = S[:, j]

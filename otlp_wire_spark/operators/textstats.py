@@ -74,11 +74,13 @@ def tokens_norm_col(text: Column) -> Column:
     """Whitespace tokens; NULL/blank → empty array. Materialize this ONCE
     per row (projection alias) and feed the *_from_tokens scorers below —
     the single-column convenience forms re-run the regex split per
-    reference (~10× per row in a full scoring pass)."""
-    return F.when(
-        text.isNull() | (F.length(F.trim(text)) == 0),
-        F.array().cast("array<string>"),
-    ).otherwise(F.split(F.trim(text), r"\s+"))
+    reference (~10× per row in a full scoring pass).
+
+    Single definition shared with the dedup pipeline — one tokenizer, one
+    SQL mirror (_SQL_TOKS), nothing to drift."""
+    from otlp_wire_spark.operators.dedup import tokens_col
+
+    return tokens_col(text)
 
 
 def lang_id_from_tokens(toks_lower: Column) -> Column:

@@ -203,9 +203,16 @@ def _run_pipeline_fused(
     routed_dir = _stage_dir(run_dir, "routed")
     sink_path = os.path.join(routed_dir, "data")
     skipped: list[str] = []
-    if _stage_complete(run_dir, "routed", fingerprint):
+    m = (
+        json.load(open(_manifest_path(run_dir, "routed")))
+        if _stage_complete(run_dir, "routed", fingerprint)
+        else None
+    )
+    # a persisted-mode manifest has no 'quarantined' (that count lives in
+    # its parsed manifest) — treat it as not resumable IN FUSED MODE and
+    # recompute rather than KeyError on a mixed-mode re-run
+    if m is not None and "quarantined" in m:
         skipped.append("routed")
-        m = json.load(open(_manifest_path(run_dir, "routed")))
         per_shard = {int(k): v for k, v in m["per_shard"].items()}
         quarantined_n = int(m["quarantined"])
     else:

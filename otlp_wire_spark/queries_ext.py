@@ -448,9 +448,11 @@ ORDER BY id_a, id_b
 # --------------------------------------------------------------------------
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bucket_cap far above any sf bucket: the DuckDB oracle is UNCAPPED, so
+    # the gate comparison must not silently depend on the scale factor
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(
-        docs, "doc_id", "text", k=16, bands=4, n=3
+        docs, "doc_id", "text", k=16, bands=4, n=3, bucket_cap=10_000_000
     ).orderBy("id_a", "id_b")
 
 
@@ -499,7 +501,8 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle and the expr-impl parity test both pin it."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.near_dup_pairs(
-        docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5, impl="arrow"
+        docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5,
+        bucket_cap=10_000_000, impl="arrow",  # oracle is uncapped — see above
     ).orderBy("id_a", "id_b")
 
 

@@ -157,6 +157,13 @@ def test_minhash_signature_arrow_matches_expr(spark):
         (6, "exactly three tokens here no wait five"),
         (7, "café 中文 naïve unicode shingles everywhere today ok"),
         (8, "rep rep rep rep rep rep rep"),  # duplicate shingles
+        # whitespace adversarial: F.trim strips spaces ONLY; Java \s is
+        # ASCII-only; F.split keeps leading/trailing empty fields
+        (9, "\tlead tab then words make shingles"),
+        (10, "trailing tab words for the window\t"),
+        (11, "nbsp stays one token with more words here"),
+        (12, "vertical\x0bsplit tokens appear here as well ok"),
+        (13, "\t"), (14, " \t "),
     ] + [(100 + i, f"doc {i} body w{i % 5} w{(i * 7) % 11} w{(i * 3) % 13} tail{i % 2}")
          for i in range(200)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -179,6 +186,8 @@ def test_simhash_arrow_matches_expr(spark):
         (2, None), (3, ""), (4, "   "), (5, "single"),
         (6, "café 中文 naïve — tokens"), (7, "a b c d e f g h i j " * 40),
         (8, "tab\tand\nnewline separated tokens"),
+        (9, "\tleading tab"), (10, "trailing tab\t"), (11, "nb sp token"),
+        (12, "\t"), (13, " \t "),
     ] + [(100 + i, f"generated doc {i} with words w{i % 7} w{(i * 3) % 11}")
          for i in range(200)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -290,6 +299,26 @@ def test_pack_sequences_invariants(spark):
         for a, b in zip(segs, segs[1:]):
             assert a["doc_tok_end"] == b["doc_tok_start"]  # contiguous tiling
             assert a["seq_id"] + 1 == b["seq_id"]  # split only at boundaries
+
+
+def test_pack_sequences_duplicate_ids_get_disjoint_intervals(spark):
+    """Duplicate doc_ids must receive DISJOINT token intervals (explicit
+    ROWS window frame — the default RANGE frame makes duplicates peers
+    sharing one cumulative sum, double-booking tokens)."""
+    from otlp_wire_spark.operators.pack import pack_sequences
+
+    df = spark.createDataFrame(
+        [(7, 10), (7, 10), (7, 10), (1, 5), (9, 3)],
+        "doc_id long, n_tokens int",
+    ).repartition(3)
+    out = pack_sequences(df, seq_len=16).collect()
+    assert sum(r["n_toks"] for r in out) == 38  # every token placed once
+    per_seq: dict[int, int] = {}
+    for r in out:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_toks"]
+    last = max(per_seq)
+    for sid, n in per_seq.items():
+        assert n == 16 or sid == last, (sid, n)
 
 
 def test_pack_sequences_property_matches_python_packer(spark):

@@ -158,6 +158,21 @@ def test_fused_mode_matches_persisted_and_oracle(spark, result, expected,
     assert res2.per_shard == res.per_shard
 
 
+def test_fused_rerun_over_persisted_run_dir_recomputes(spark, result, expected):
+    """Mixed-mode resume: a persisted-mode routed manifest carries no
+    'quarantined' key — re-running the same run_dir with --fused must
+    RECOMPUTE (not KeyError, not trust a manifest missing its fields)."""
+    res = run_pipeline(
+        spark, generate_pages(spark, N), generate_lookup(spark),
+        result.run_dir, num_shards=NUM_SHARDS, fingerprint=f"pages-n{N}",
+        persist_stages=False,
+    )
+    assert "routed" not in res.stages_skipped  # recomputed in fused form
+    assert res.band_counts == expected["band_counts"]
+    assert res.quarantined == expected["quarantined"]
+    assert res.per_shard == expected["per_shard"]
+
+
 def test_broadcast_join_in_plan(spark):
     """The enrichment join must be a broadcast hash join — no shuffle of the
     fact side (SURVEY.md §2.3)."""

@@ -424,6 +424,11 @@ def near_dup_pairs(
     sh = _shingled(df, id_col, text_col, n).where(F.size("sh") > 0)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # NOTE: the candidate pass and the verify pass each scan/shingle the
+    # corpus (Spark recomputes lineage — two DataFrame references are not a
+    # cache). At 100 TB a production run persists the (id, shingles) table
+    # once (DISK_ONLY or a parquet side-table) and feeds both passes; at
+    # gate scale recomputing is cheaper than materializing.
     joined = cand.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))

@@ -105,6 +105,57 @@ def extract_media_features(df: DataFrame, rows_per_batch: int = 256) -> DataFram
     return df.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_fingerprint", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, frame_size: int = 4
+) -> DataFrame:
+    """Frame sampling for video payloads — 1→N row explosion via
+    mapInPandas (Arrow-batched; frames never pass through the driver).
+
+    STUB decode: a real deployment hands the payload to a demuxer and
+    yields decoded frames; here a 'frame' is the i-th ``frame_size``-byte
+    slice of the payload (deterministic, so the DuckDB oracle reconstructs
+    every frame and its FNV fingerprint from media_id in pure SQL). The
+    Spark-side plumbing — filter by kind, batch iteration, row explosion,
+    per-frame fingerprinting, output schema — is exactly what a real
+    decoder drop-in would keep."""
+    import numpy as np
+
+    from otlp_wire_spark.functions.fnv import fnv64a_numpy
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                k = min(n_frames, len(p) // frame_size)
+                for i in range(k):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(p[i * frame_size : (i + 1) * frame_size])
+            fps = fnv64a_numpy(frames).view(np.int64) if frames else []
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(frames, dtype=object),
+                    "frame_fingerprint": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    video = df.where(F.col("kind") == "video").select("media_id", "payload")
+    return video.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
 def generate_media(spark, n: int) -> DataFrame:
     """Deterministic media fixture: payload = struct-packed bytes of the id
     (binary, opaque); ~2% empty payloads to exercise decode errors."""

@@ -733,6 +733,43 @@ FROM h ORDER BY media_id
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing under the oracle: video payloads are a pure
+    function of media_id, so DuckDB reconstructs every sampled frame (i-th
+    4-byte slice) and its FNV fingerprint from the payload hex."""
+    from otlp_wire_spark.operators.multimodal import generate_media, sample_frames
+    from otlp_wire_spark.shipping import ensure_session_ready
+
+    ensure_session_ready(spark)
+    media = generate_media(spark, 2000)
+    return sample_frames(media, n_frames=4, frame_size=4).select(
+        "media_id", "frame_idx",
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+        "frame_fingerprint",
+    ).orderBy("media_id", "frame_idx")
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH m AS (
+  SELECT range AS media_id, {_MEDIA_HX.replace("media_id", "range")} AS hx
+  FROM range(0, 2000) WHERE range % 3 = 2
+), fr AS (
+  SELECT media_id, f.frame_idx::INT AS frame_idx,
+         substr(hx, f.frame_idx * 8 + 1, 8) AS fhx
+  FROM m, LATERAL unnest(range(0, least(4, (length(hx) // 2) // 4)))
+       AS f(frame_idx)
+), h AS (
+  SELECT media_id, frame_idx, (length(fhx) // 2)::INT AS frame_len,
+         {FNV_BYTES_SQL.format(hx="fhx")} AS fp FROM fr
+)
+SELECT media_id, frame_idx, frame_len,
+  CASE WHEN fp >= 9223372036854775808::HUGEINT
+       THEN (fp - 18446744073709551616::HUGEINT)::BIGINT
+       ELSE fp::BIGINT END AS frame_fingerprint
+FROM h ORDER BY media_id, frame_idx
+"""
+
+
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling fingerprint via the Arrow/numpy scale path — the SQL oracle
     and the expr-kernel parity test both pin it."""
@@ -774,6 +811,7 @@ QUERIES_EXT = {
     "lang_id": q_lang_id,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "multimodal_frames": q_multimodal_frames,
     "near_dup_pairs": q_near_dup_pairs,
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
@@ -797,6 +835,7 @@ ORACLES_EXT = {
     "lang_id": SQL_LANG_ID,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
     "simhash": SQL_SIMHASH,
     "cosine_topk": SQL_COSINE_TOPK,

@@ -177,6 +177,9 @@ def main() -> None:
         "simhash",
         "token_stats",
         "cosine_topk",
+        # composed end-to-end LLM curation: curate → near-dup removal →
+        # decontaminate → redact → pack (the 100 TB training-data shape)
+        "curation_pipeline",
     ]
     all_queries = {**QUERIES, **QUERIES_EXT}
     # median of q_trials per query (first run warms plan/JIT, not timed):

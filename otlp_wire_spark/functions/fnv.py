@@ -123,12 +123,16 @@ def fnv64a_expr(col: Column | str) -> Column:
         F.lit(FNV64_OFFSET_SIGNED).cast("long"),
         lambda h, b: h.bitwiseXOR(b) * F.lit(FNV64_PRIME_SIGNED),
     )
-    hx = F.hex(F.encode(c, "UTF-8"))
+    # hex-pair array via ONE regexp pass — the hex string appears exactly
+    # once, OUTSIDE any lambda. An earlier form indexed `hx.substr(i*2-1, 2)`
+    # inside the transform lambda; per the Catalyst invariant (lambda bodies
+    # re-evaluate outer non-attribute exprs per element) that re-ran
+    # hex(encode(c)) for every byte index — O(len²) per non-ASCII string.
+    pairs = F.regexp_extract_all(
+        F.hex(F.encode(c, "UTF-8")), F.lit("(..)"), F.lit(1)
+    )
     byte_fold = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), (F.length(hx) / F.lit(2)).cast("int")),
-            lambda i: F.conv(hx.substr(i * 2 - 1, F.lit(2)), 16, 10).cast("long"),
-        ),
+        F.transform(pairs, lambda pr: F.conv(pr, 16, 10).cast("long")),
         F.lit(FNV64_OFFSET_SIGNED).cast("long"),
         lambda h, b: h.bitwiseXOR(b) * F.lit(FNV64_PRIME_SIGNED),
     )

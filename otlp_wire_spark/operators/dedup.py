@@ -170,6 +170,63 @@ def minhash_signature_col(text: Column, k: int = 16, n: int = 3) -> Column:
     return minhash_sig_from_hashes(shingle_hashes_col(text, n), k)
 
 
+def _minhash_batch_from_lists(
+    shingle_lists: list[list[str]], k: int
+) -> list[list[int]]:
+    """Shared numpy core of both Arrow MinHash kernels: hash ALL shingles in
+    the batch through the vectorized FNV once, evaluate the k permutations
+    as one (k, N) matrix op, segment-min per row. Empty rows → sentinel."""
+    import numpy as np
+
+    from otlp_wire_spark.functions.fnv import fnv64a_numpy
+
+    perms = minhash_perms(k)
+    a_vec = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in perms], dtype=np.int64)[:, None]
+    p = np.int64(MERSENNE_P)
+    sentinel = [int(MERSENNE_P)] * k
+    n_rows = len(shingle_lists)
+    counts = np.fromiter(
+        (len(x) for x in shingle_lists), dtype=np.int64, count=n_rows
+    )
+    flat = [sh.encode("utf-8") for row in shingle_lists for sh in row]
+    out = [sentinel] * n_rows
+    if flat:
+        # UNSIGNED u64 % p — matches shingle_hashes_from and the SQL
+        # oracle's HUGEINT arithmetic
+        x = (fnv64a_numpy(flat) % np.uint64(MERSENNE_P)).astype(np.int64)
+        m = (a_vec * x[None, :] + b_vec) % p  # (k, n_shingles)
+        offsets = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        nonempty = counts > 0
+        mins = np.minimum.reduceat(m, offsets[nonempty], axis=1)
+        for j, row_idx in enumerate(np.flatnonzero(nonempty)):
+            out[row_idx] = mins[:, j].tolist()
+    return out
+
+
+def minhash_sig_arrow_from_shingles(sh: Column, k: int = 16) -> Column:
+    """Vectorized MinHash signature from a PRE-COMPUTED shingle-array
+    column — the single-scan path: when a persisted ``(id, sh)`` side-table
+    feeds both the LSH candidate pass and the exact-Jaccard verify pass
+    (near_dup_pairs ``persist=True``), the signature derives from the SAME
+    arrays the verify join reads, so the corpus is tokenized+shingled
+    exactly once. The FNV + permutation math stays one numpy matrix op per
+    batch; bit-identical to minhash_sig_from_hashes over the same arrays
+    (tests/test_ops.py)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            lists = [
+                [str(x) for x in row] if row is not None else [] for row in s
+            ]
+            yield pd.Series(_minhash_batch_from_lists(lists, k), index=s.index)
+
+    return _sig(sh)
+
+
 def minhash_signature_arrow_col(
     text: Column, k: int = 16, n: int = 3
 ) -> Column:
@@ -183,19 +240,10 @@ def minhash_signature_arrow_col(
     minhash_signature_col / the SQL oracle (same tokens, same shingles,
     same (a*x+b) mod p arithmetic in int64) — pinned by tests/test_ops.py.
     """
-    import numpy as np
     from pyspark.sql.types import ArrayType, LongType
-
-    from otlp_wire_spark.functions.fnv import fnv64a_numpy
-
-    perms = minhash_perms(k)
-    a_vec = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
-    b_vec = np.array([b for _, b in perms], dtype=np.int64)[:, None]
-    p = np.int64(MERSENNE_P)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        sentinel = [int(MERSENNE_P)] * k
         for s in it:
             shingle_lists = []
             for t in s:
@@ -209,26 +257,9 @@ def minhash_signature_arrow_col(
                 shingle_lists.append(list(dict.fromkeys(
                     " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
                 )))
-            counts = np.fromiter(
-                (len(x) for x in shingle_lists), dtype=np.int64, count=len(s)
+            yield pd.Series(
+                _minhash_batch_from_lists(shingle_lists, k), index=s.index
             )
-            flat = [sh.encode("utf-8") for row in shingle_lists for sh in row]
-            out = [sentinel] * len(s)
-            if flat:
-                # UNSIGNED u64 % p — matches shingle_hashes_from and the
-                # SQL oracle's HUGEINT arithmetic
-                x = (fnv64a_numpy(flat) % np.uint64(MERSENNE_P)).astype(
-                    np.int64
-                )
-                m = (a_vec * x[None, :] + b_vec) % p  # (k, n_shingles)
-                offsets = np.zeros(len(s), dtype=np.int64)
-                np.cumsum(counts[:-1], out=offsets[1:])
-                nonempty = counts > 0
-                mins = np.minimum.reduceat(m, offsets[nonempty], axis=1)
-                idxs = np.flatnonzero(nonempty)
-                for j, row_idx in enumerate(idxs):
-                    out[row_idx] = mins[:, j].tolist()
-            yield pd.Series(out, index=s.index)
 
     return _sig(text)
 
@@ -298,6 +329,7 @@ def minhash_lsh_candidates(
     bucket_cap: int = 1000,
     observation: "object | None" = None,
     impl: str = "expr",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the k-row signature into ``bands`` bands,
     bucket by (band_idx, band_signature), emit pairs sharing ≥1 bucket.
@@ -307,6 +339,13 @@ def minhash_lsh_candidates(
     per-row cost than the interpreted JVM HOF fold); 'expr' stays pure JVM.
     Both are bit-identical (tests/test_ops.py) — banding/capping/pair
     generation are shared.
+
+    ``shingles`` (optional): a pre-materialized ``(id, sh)`` DataFrame (the
+    shape ``shingle_table`` returns). When given, the signature derives
+    from those arrays instead of re-tokenizing ``df`` — the hook that lets
+    ``near_dup_pairs`` pay the dominant tokenize+shingle scan ONCE for the
+    candidate and verify passes (persist it; two DataFrame references alone
+    are lineage recomputes, not a cache).
 
     Scale path: rows are capped to the ``bucket_cap`` lowest ids per bucket
     BEFORE any aggregation — a window ``row_number() <= cap`` over
@@ -333,7 +372,19 @@ def minhash_lsh_candidates(
     # feeding the signature expression directly into a generator drops the
     # stage out of WholeStageCodegen into interpreted eval (~30× slower,
     # measured at sf0.1)
-    if impl == "arrow":
+    if shingles is not None:
+        if impl == "arrow":
+            sigd = shingles.select(
+                "id", minhash_sig_arrow_from_shingles(F.col("sh"), k).alias("sig")
+            )
+        else:
+            hashed = shingles.select(
+                "id", shingle_hashes_from(F.col("sh")).alias("_hs")
+            )
+            sigd = hashed.select(
+                "id", minhash_sig_from_hashes(F.col("_hs"), k).alias("sig")
+            )
+    elif impl == "arrow":
         sigd = df.select(
             F.col(id_col).alias("id"),
             minhash_signature_arrow_col(F.col(text_col), k, n).alias("sig"),
@@ -398,6 +449,17 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """The ``(id, sh)`` shingle side-table both near-dup passes consume —
+    materialize it ONCE (``.persist()`` or a parquet side-table) and pass it
+    to ``near_dup_pairs(shingles=...)`` / ``minhash_lsh_candidates
+    (shingles=...)`` so a 100 TB run pays the dominant tokenize+shingle
+    scan a single time."""
+    return _shingled(df, id_col, text_col, n)
+
+
 def near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -409,6 +471,8 @@ def near_dup_pairs(
     bucket_cap: int = 1000,
     observation: "object | None" = None,
     impl: str = "expr",
+    persist: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate detection — the composed 100 TB shape:
     MinHash+LSH proposes candidate pairs (O(n·bands) shuffle, hot buckets
@@ -417,18 +481,36 @@ def near_dup_pairs(
     true near-dups, never all-pairs). Output: verified pairs with
     floor-quantized jaccard — false positives from banding are filtered,
     recall is the LSH recall.
+
+    Single-scan mode: both passes consume ONE shingle side-table. Pass
+    ``persist=True`` to have it built and ``persist()``-ed here (the 100 TB
+    default — the corpus is tokenized+shingled exactly once; the cache
+    lives until the session drops it or the caller ``unpersist``s via
+    ``spark.catalog.clearCache()``), or hand in your own pre-materialized
+    ``shingles`` DataFrame (``shingle_table`` shape — e.g. a parquet/
+    bucketed side-table) for full lifecycle control. With neither, each
+    pass recomputes lineage — fine at test scale, a 2× constant at 100 TB.
     """
+    if shingles is None:
+        shingles = _shingled(df, id_col, text_col, n)
+        if persist:
+            from pyspark import StorageLevel
+
+            shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+            # materialize EAGERLY: the sig stage and the two verify-join map
+            # stages have no mutual dependency, so Spark submits them
+            # concurrently — racing tasks would each compute the uncached
+            # partitions, silently re-running the tokenize+shingle scan the
+            # persist exists to avoid. One up-front job pins exactly one
+            # evaluation (tests/test_near_dup_scan.py counts it).
+            shingles.count()
     cand = minhash_lsh_candidates(
-        df, id_col, text_col, k, bands, n, bucket_cap, observation, impl
+        df, id_col, text_col, k, bands, n, bucket_cap, observation, impl,
+        shingles=shingles,
     )
-    sh = _shingled(df, id_col, text_col, n).where(F.size("sh") > 0)
+    sh = shingles.where(F.size("sh") > 0)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    # NOTE: the candidate pass and the verify pass each scan/shingle the
-    # corpus (Spark recomputes lineage — two DataFrame references are not a
-    # cache). At 100 TB a production run persists the (id, shingles) table
-    # once (DISK_ONLY or a parquet side-table) and feeds both passes; at
-    # gate scale recomputing is cheaper than materializing.
     joined = cand.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))

@@ -182,11 +182,9 @@ def generate_media(spark, n: int) -> DataFrame:
     )
 
 
-# struct is used by tests to build expected payload bytes
 __all__ = [
     "MEDIA_SCHEMA",
     "FEATURE_SCHEMA",
     "extract_media_features",
     "generate_media",
-    "struct",
 ]

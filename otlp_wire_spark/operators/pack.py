@@ -8,13 +8,23 @@ The core is a GLOBAL prefix sum of token counts. A naive
 ONE task — the classic global-window scale trap — so this implements the
 distributed two-pass prefix sum:
 
-1. range-repartition by doc_id (cluster-ordered partitions),
-2. per-partition token totals → collected (one tiny row per partition) →
+1. bucket rows by id against boundary literals collected ONCE on the
+   driver (approx quantiles of the id column) — the bucket is a PURE
+   function of (row id, literals), so every job that touches the data
+   assigns identical buckets no matter how Spark re-executes lineage,
+2. per-bucket token totals → collected (one tiny row per bucket) →
    exclusive prefix offsets, rejoined via a broadcast map,
-3. per-partition running sum (window PARTITIONED by the range bucket —
-   parallel) + the partition's offset = the exact global prefix.
+3. per-bucket running sum (window PARTITIONED by bucket — parallel) + the
+   bucket's offset = the exact global prefix.
 
-Driver traffic is O(partitions), never O(rows). The DuckDB oracle computes
+An earlier formulation used ``repartitionByRange`` + ``spark_partition_id``
+as the bucket — but the pid→offset map then assumed the range sampler and
+task layout reproduce identically between the pass-1 collect job and the
+pass-2 window job; a nondeterministic upstream (shuffle output order,
+sampling) could silently diverge them and corrupt every offset. Boundary
+literals cannot diverge: they are data, not physical-execution metadata.
+
+Driver traffic is O(buckets), never O(rows). The DuckDB oracle computes
 the same packing with a single global window — the independent formulation
 the distributed one must reproduce exactly.
 """
@@ -25,45 +35,60 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _bucket_bounds(
+    df: DataFrame, id_col: str, parts: int
+) -> list[float]:
+    """Approximate id quantile boundaries — balance only, never correctness
+    (any boundary set yields exact prefix sums; skewed buckets just skew
+    work). Non-numeric id columns fall back to a single bucket."""
+    probs = [i / parts for i in range(1, parts)]
+    try:
+        return sorted(set(df.stat.approxQuantile(id_col, probs, 0.001)))
+    except Exception:
+        return []
+
+
 def global_token_offsets(
     df: DataFrame, id_col: str = "doc_id", count_col: str = "n_tokens"
 ) -> DataFrame:
     """Attach ``tok_before`` — the exact number of tokens in all documents
     with a smaller id — via the distributed two-pass prefix sum."""
     parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
-    ranged = df.repartitionByRange(parts, F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # pass 1: per-partition totals + min id (to order the partitions)
-    psums = ranged.groupBy("_pid").agg(
-        F.sum(count_col).alias("_psum"), F.min(id_col).alias("_pmin")
-    ).collect()  # O(partitions) rows — the only driver traffic
+    bounds = _bucket_bounds(df, id_col, parts)
+    # bucket = #boundaries strictly below id: deterministic per ROW, ordered
+    # by construction (ascending boundary list), duplicates co-bucketed
+    bkt = F.lit(0)
+    for x in bounds:
+        bkt = bkt + F.when(F.col(id_col) > F.lit(x), 1).otherwise(0)
+    bucketed = df.withColumn("_bkt", bkt.cast("int"))
+    # pass 1: per-bucket totals — O(buckets) rows, the only driver traffic
+    psums = bucketed.groupBy("_bkt").agg(F.sum(count_col).alias("_psum")).collect()
     offsets: dict[int, int] = {}
     running = 0
-    for r in sorted(psums, key=lambda r: (r["_pmin"] is None, r["_pmin"])):
-        offsets[r["_pid"]] = running
+    for r in sorted(psums, key=lambda r: r["_bkt"]):
+        offsets[r["_bkt"]] = running
         running += int(r["_psum"] or 0)
     omap = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
-    # pass 2: parallel within-partition running sums + the offset.
+    # pass 2: parallel within-bucket running sums + the bucket offset.
     # Explicit ROWS frame: the default RANGE frame makes duplicate ids
     # PEERS sharing one cumulative value → overlapping token intervals;
     # ROWS assigns disjoint offsets (matching the oracle's ROWS BETWEEN).
     w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_bkt")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        ranged.withColumn("_local_cum", F.sum(count_col).over(w))
+        bucketed.withColumn("_local_cum", F.sum(count_col).over(w))
         .withColumn(
             "tok_before",
-            (omap[F.col("_pid")] + F.col("_local_cum") - F.col(count_col)).cast(
+            (omap[F.col("_bkt")] + F.col("_local_cum") - F.col(count_col)).cast(
                 "long"
             ),
         )
-        .drop("_pid", "_local_cum")
+        .drop("_bkt", "_local_cum")
     )
 
 

@@ -283,6 +283,16 @@ def parse_pages_expr(
     the depth char-fold twice (the same hazard class fixed in dedup.py).
     """
     selected = [f for f in ALL_PARSE_FIELDS if fields is None or f in fields]
+    # helper staging columns are added with fixed names and dropped at the
+    # end — an input column with one of these names would be silently
+    # overwritten and destroyed; fail loudly instead
+    _helper_names = ("_ps", "_ptraw", "_prraw", "_prparts", "_pdraw", "_pdscan")
+    clash = [c for c in _helper_names if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"parse_pages_expr: input columns {clash} collide with internal "
+            "staging names; rename them before parsing"
+        )
     h = F.col(html_col)
     staged = df.withColumn("_ps", F.expr(f"try_validate_utf8({html_col})"))
     helpers = ["_ps"]

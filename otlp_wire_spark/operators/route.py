@@ -83,6 +83,15 @@ def write_sharded(
     )
 
 
+class ShardManifestResult(dict):
+    """Per-shard counter dict (int shard → counters) that also SURFACES
+    which collection path produced it: ``.strategy`` is ``"observe"``
+    (metrics rode the write job) or ``"readback"`` (sink re-scanned).
+    Plain-dict subclass — every existing caller keeps working."""
+
+    strategy: str = "observe"
+
+
 def write_sharded_with_manifest(
     routed: DataFrame,
     out_path: str,
@@ -91,7 +100,8 @@ def write_sharded_with_manifest(
     fmt: str = "parquet",
     mode: str = "overwrite",
     extra_metrics: dict[str, "F.Column"] | None = None,
-) -> dict[int, dict[str, int]] | tuple[dict[int, dict[str, int]], dict]:
+    observe_threshold: int = 64,
+) -> ShardManifestResult | tuple[ShardManifestResult, dict]:
     """Write per-shard sinks AND collect the exact per-shard counters from
     the SAME job via Observation metrics — no second scan of the sink.
 
@@ -100,42 +110,79 @@ def write_sharded_with_manifest(
     on precisely the rows the committed job wrote — task retries don't
     double-count because metrics come from the committed attempt).
 
-    Costs 3·num_shards conditional aggregates in the write stage; beyond
-    ~64 shards prefer shard_manifest() on the sink read-back (codegen'd
-    conditional-agg width has practical limits).
-    """
+    The Observation path costs 3·num_shards conditional aggregates in the
+    write stage (codegen'd conditional-agg width has practical limits), so
+    above ``observe_threshold`` shards the function AUTOMATICALLY falls
+    back to a grouped aggregate over the sink read-back — same exact
+    counters (it reads the committed files), one extra scan, no 30k-wide
+    aggregate. The returned dict's ``.strategy`` attribute says which path
+    ran. ``extra_metrics`` ride the write job via Observation on BOTH
+    paths (they're O(#metrics), not O(shards))."""
     from pyspark.sql import Observation
 
-    obs = Observation("shard_manifest")
-    exprs = (
-        [c.alias(n) for n, c in extra_metrics.items()] if extra_metrics else []
-    )
+    use_readback = num_shards > observe_threshold
     shard = F.col("shard")
     rec = F.col("parsed.record_count")
     size = F.length(F.col(payload_col))
-    for k in range(num_shards):
-        is_k = F.when(shard == k, 1).otherwise(0)
-        exprs.append(F.sum(is_k).alias(f"pages_{k}"))
-        exprs.append(
-            F.sum(F.when(shard == k, rec).otherwise(0)).alias(f"records_{k}")
-        )
-        exprs.append(
-            F.sum(F.when(shard == k, size).otherwise(0)).alias(f"bytes_{k}")
-        )
-    observed = routed.observe(obs, *exprs)
+
+    exprs = (
+        [c.alias(n) for n, c in extra_metrics.items()] if extra_metrics else []
+    )
+    if not use_readback:
+        for k in range(num_shards):
+            is_k = F.when(shard == k, 1).otherwise(0)
+            exprs.append(F.sum(is_k).alias(f"pages_{k}"))
+            exprs.append(
+                F.sum(F.when(shard == k, rec).otherwise(0)).alias(f"records_{k}")
+            )
+            exprs.append(
+                F.sum(F.when(shard == k, size).otherwise(0)).alias(f"bytes_{k}")
+            )
+
+    obs = Observation("shard_manifest") if exprs else None
+    observed = routed.observe(obs, *exprs) if obs is not None else routed
     observed.write.format(fmt).mode(mode).partitionBy("shard").save(out_path)
-    m = obs.get
-    per_shard = {
-        k: {
-            "page_count": int(m[f"pages_{k}"] or 0),
-            "record_count": int(m[f"records_{k}"] or 0),
-            "byte_count": int(m[f"bytes_{k}"] or 0),
+    m = obs.get if obs is not None else {}
+
+    if use_readback:
+        # grouped agg over the COMMITTED sink (not the input lineage —
+        # recomputing upstream could diverge under nondeterminism); empty
+        # shards are filled with zeros
+        sink = routed.sparkSession.read.format(fmt).load(out_path)
+        agg_rows = (
+            sink.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("p"),
+                F.sum(rec).cast("long").alias("r"),
+                F.sum(size).cast("long").alias("b"),
+            )
+            .collect()
+        )
+        per_shard = {
+            k: {"page_count": 0, "record_count": 0, "byte_count": 0}
+            for k in range(num_shards)
         }
-        for k in range(num_shards)
-    }
+        for r in agg_rows:
+            per_shard[int(r["shard"])] = {
+                "page_count": int(r["p"]),
+                "record_count": int(r["r"] or 0),
+                "byte_count": int(r["b"] or 0),
+            }
+    else:
+        per_shard = {
+            k: {
+                "page_count": int(m[f"pages_{k}"] or 0),
+                "record_count": int(m[f"records_{k}"] or 0),
+                "byte_count": int(m[f"bytes_{k}"] or 0),
+            }
+            for k in range(num_shards)
+        }
+
+    result = ShardManifestResult(per_shard)
+    result.strategy = "readback" if use_readback else "observe"
     if extra_metrics is not None:
-        return per_shard, {name: m[name] for name in extra_metrics}
-    return per_shard
+        return result, {name: m[name] for name in extra_metrics}
+    return result
 
 
 def shard_manifest(routed: DataFrame, payload_col: str = "html") -> DataFrame:

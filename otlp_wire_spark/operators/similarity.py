@@ -100,6 +100,7 @@ def cosine_topk_arrow(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 65_536,
 ) -> DataFrame:
     """Exact top-k, BLAS path — the scale form of cosine_topk.
 
@@ -118,7 +119,18 @@ def cosine_topk_arrow(
     import pandas as pd
     from pyspark.sql import types as T
 
-    qrows = queries.select(id_col, vec_col).collect()  # small by contract
+    # The query side is collected to the driver and broadcast — "small by
+    # contract", and the contract is ENFORCED: limit(max+1) bounds the
+    # fetch itself, so misuse raises an actionable error instead of
+    # silently OOMing the driver on a huge query set.
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_arrow: query side exceeds max_queries="
+            f"{max_queries}; it is collected+broadcast by design. Batch the "
+            "queries, raise max_queries deliberately, or use lsh_ann_topk/"
+            "ivf_ann_topk for large query sets."
+        )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(map(float, r[1])) for r in qrows], dtype=np.float64)
     q_norms = np.linalg.norm(Q, axis=1)
@@ -220,6 +232,50 @@ def ivf_probe_col(vec: Column, cents: list[list[float]], n_probe: int) -> Column
     return F.transform(F.slice(ranked, 1, n_probe), lambda s: (-s["ncid"]).cast("int"))
 
 
+def ivf_assign_cells(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF index side: ``(c_id, c_v, cell)`` nearest-centroid
+    assignment of every corpus vector — a narrow codegen'd scan, zero
+    shuffle. Compute ONCE and reuse across query batches:
+
+    - ``ivf_persist_cells`` caches it (repeat queries read
+      InMemoryTableScan — zero corpus re-scans/re-shuffles, plan-pinned by
+      tests/test_bucketing.py), or
+    - write it with ``route.write_bucketed(assigned, table, 'cell')`` and
+      feed ``spark.table(table)`` to ``ivf_ann_topk(assigned=...)`` — the
+      durable form a 100 TB deployment uses (the assignment scan happens
+      once at index-build time, ever)."""
+    cents = ivf_centroids(dim, n_centroids)
+    return corpus.select(
+        F.col(id_col).alias("c_id"),
+        _as_double(F.col(vec_col)).alias("c_v"),
+        ivf_assign_col(F.col(vec_col), cents).alias("cell"),
+    )
+
+
+def ivf_persist_cells(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cached IVF assignment table, materialized eagerly so every
+    subsequent query batch reads the cache (never a racy first-touch
+    recompute). Caller owns the lifecycle (``.unpersist()``)."""
+    from pyspark import StorageLevel
+
+    assigned = ivf_assign_cells(corpus, dim, n_centroids, id_col, vec_col)
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    return assigned
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -229,17 +285,22 @@ def ivf_ann_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus bucketed ONCE by nearest centroid
     (narrow scan — at scale, persist/bucket this once and reuse across
     query batches); each query probes its ``n_probe`` nearest cells, exact
     cosine only within them. Candidates shrink ~n_probe/n_centroids; ties
-    broken by ascending corpus id (deterministic under any partitioning)."""
+    broken by ascending corpus id (deterministic under any partitioning).
+
+    ``assigned``: a pre-built ``ivf_assign_cells``-shaped table
+    (persisted/bucketed). When given, the per-call corpus scan + centroid
+    math disappear entirely — repeat query batches touch only the index."""
     cents = ivf_centroids(dim, n_centroids)
-    c = corpus.select(
-        F.col(id_col).alias("c_id"),
-        _as_double(F.col(vec_col)).alias("c_v"),
-        ivf_assign_col(F.col(vec_col), cents).alias("cell"),
+    c = (
+        assigned
+        if assigned is not None
+        else ivf_assign_cells(corpus, dim, n_centroids, id_col, vec_col)
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),

@@ -91,13 +91,17 @@ FROM documents ORDER BY doc_id
 # --------------------------------------------------------------------------
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interpolated percentiles of integer counts are ratio-of-small-ints
+    # values → floor-quantized like every other non-irrational float output
+    # (a last-ulp Spark-vs-DuckDB interpolation difference must not flip
+    # the hash gate)
     docs = _t(spark, sf_dir, "documents")
     n = textstats.ws_token_count(F.col("text"))
     return docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n).cast("long").alias("total_tokens"),
-        F.percentile(n, F.lit(0.5)).cast("double").alias("p50_tokens"),
-        F.percentile(n, F.lit(0.9)).cast("double").alias("p90_tokens"),
+        textstats.quantize4(F.percentile(n, F.lit(0.5))).alias("p50_tokens_q4"),
+        textstats.quantize4(F.percentile(n, F.lit(0.9))).alias("p90_tokens_q4"),
         F.max(n).cast("int").alias("max_tokens"),
     )
 
@@ -109,8 +113,8 @@ WITH c AS (
   FROM documents
 )
 SELECT count(*) AS n_docs, sum(n)::BIGINT AS total_tokens,
-       quantile_cont(n, 0.5)::DOUBLE AS p50_tokens,
-       quantile_cont(n, 0.9)::DOUBLE AS p90_tokens,
+       floor(quantile_cont(n, 0.5) * 10000.0)::BIGINT AS p50_tokens_q4,
+       floor(quantile_cont(n, 0.9) * 10000.0)::BIGINT AS p90_tokens_q4,
        max(n)::INT AS max_tokens
 FROM c
 """
@@ -344,15 +348,20 @@ def q_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _sql_redact() -> str:
+def _sql_redact_chain(expr: str) -> str:
+    """The redaction regexp_replace chain over an arbitrary SQL expr —
+    DuckDB string literals are RAW (no backslash processing), so each regex
+    goes in verbatim; only quotes need doubling."""
     from otlp_wire_spark.operators.curate import REDACTION_PATTERNS
 
-    expr = "planted"
     for _, pat, repl in REDACTION_PATTERNS:
-        # DuckDB string literals are RAW (no backslash processing) — the
-        # regex goes in verbatim, only quotes need doubling
         pat_sql = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
+    return expr
+
+
+def _sql_redact() -> str:
+    expr = _sql_redact_chain("planted")
     return f"""
 WITH p AS (
   SELECT doc_id,
@@ -466,8 +475,24 @@ _SQL_BAND_KEYS = ", ".join(
     )
     for i in range(4)
 )
-_SQL_LSH_CTES = f"""base AS (
-  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+def _sql_lsh_ctes(src: str = "documents", cap: int | None = None) -> str:
+    """The full MinHash→bands→candidate-pairs CTE chain over any relation
+    with (doc_id, text) columns. ``cap`` mirrors the Spark bucket cap
+    EXACTLY: keep only the ``cap`` lowest doc_ids per (band, key) bucket
+    before pair generation — the branch that actually runs at 100 TB."""
+    pair_src = "long_bands"
+    capped = ""
+    if cap is not None:
+        capped = f""", capped AS (
+  SELECT doc_id, band, key FROM (
+    SELECT doc_id, band, key,
+           row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+    FROM long_bands)
+  WHERE rn <= {cap}
+)"""
+        pair_src = "capped"
+    return f"""base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM {src}
 ), hashes AS (
   SELECT doc_id, {_sql_shingle_hashes()} AS hs FROM base
 ), sigs AS (
@@ -479,14 +504,40 @@ _SQL_LSH_CTES = f"""base AS (
   SELECT doc_id, 1, band1 FROM bands UNION ALL
   SELECT doc_id, 2, band2 FROM bands UNION ALL
   SELECT doc_id, 3, band3 FROM bands
-), lsh_cand AS (
+){capped}, lsh_cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM long_bands a JOIN long_bands b
+  FROM {pair_src} a JOIN {pair_src} b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )"""
 
+
+_SQL_LSH_CTES = _sql_lsh_ctes()
+
 SQL_MINHASH_LSH_PAIRS = f"""
 WITH {_SQL_LSH_CTES}
+SELECT id_a, id_b FROM lsh_cand ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# capped LSH — the truncation branch that actually runs at 100 TB, value-
+# graded with truncation OCCURRING (sf0.01 has buckets of 3 > cap of 2);
+# the oracle mirrors the cap exactly (lowest-id survivors per bucket)
+# --------------------------------------------------------------------------
+
+_LSH_GATE_CAP = 2
+
+
+def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=16, bands=4, n=3,
+        bucket_cap=_LSH_GATE_CAP, impl="arrow",
+    ).orderBy("id_a", "id_b")
+
+
+SQL_MINHASH_LSH_CAPPED = f"""
+WITH {_sql_lsh_ctes(cap=_LSH_GATE_CAP)}
 SELECT id_a, id_b FROM lsh_cand ORDER BY id_a, id_b
 """
 
@@ -497,12 +548,14 @@ SELECT id_a, id_b FROM lsh_cand ORDER BY id_a, id_b
 # --------------------------------------------------------------------------
 
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Runs the Arrow/numpy signature path (the scale path) — the SQL
-    oracle and the expr-impl parity test both pin it."""
+    """Runs the single-scan scale path: one persisted shingle side-table
+    feeds both the Arrow/numpy signature pass and the exact-Jaccard verify
+    pass — the SQL oracle and the expr-impl parity test both pin it."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.near_dup_pairs(
         docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5,
         bucket_cap=10_000_000, impl="arrow",  # oracle is uncapped — see above
+        persist=True,
     ).orderBy("id_a", "id_b")
 
 
@@ -525,6 +578,156 @@ FROM lsh_cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
 WHERE {_SQL_JAC} >= 0.5
 ORDER BY id_a, id_b
 """
+
+
+# --------------------------------------------------------------------------
+# composed end-to-end LLM curation pipeline — the shape a real 100 TB
+# training-data run executes, oracled as ONE composition:
+#   curate (lang/quality/length + exact dedup)
+#   → near-dup removal (drop id_b of every LSH→exact-verified pair)
+#   → benchmark decontamination (drop docs sharing any 3-gram with the
+#     benchmark slice doc_id % 101 == 0)
+#   → PII redaction
+#   → sequence packing (seq_len=128) of the cleaned corpus
+# Every stage's oracle already exists individually; here the CTEs compose.
+# --------------------------------------------------------------------------
+
+_PIPE_SEQ_LEN = 128
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_wire_spark.operators.curate import (
+        contaminated_ids,
+        curate,
+        redact_text,
+    )
+    from otlp_wire_spark.operators.pack import pack_sequences
+    from otlp_wire_spark.operators.textstats import tokens_norm_col
+
+    docs = _t(spark, sf_dir, "documents")
+    # 1. curate: score (narrow scan) → filter → exact dedup keep-rows
+    kept = curate(docs, langs=("en",), min_quality=0.3, min_tokens=3)
+    # 2. near-dup removal on the survivors — single-scan LSH→verify, then
+    #    drop the HIGHER id of every verified pair (min-id representative
+    #    survives, consistent with the exact-dedup convention)
+    pairs = dedup.near_dup_pairs(
+        kept, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5,
+        bucket_cap=10_000_000, impl="arrow", persist=True,
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept2 = kept.join(drop, "doc_id", "left_anti")
+    # 3. decontaminate vs the benchmark slice of the FULL corpus
+    benchmark = docs.where(F.col("doc_id") % 101 == 0)
+    contam = contaminated_ids(kept2, benchmark, "doc_id", "text", n=3)
+    kept3 = kept2.join(contam, "doc_id", "left_anti")
+    # 4. PII redaction (codegen'd regexp chain, zero shuffle)
+    clean = kept3.select(
+        "doc_id", redact_text(F.col("text")).alias("clean_text")
+    )
+    # 5. pack the cleaned corpus into training sequences
+    counted = clean.select(
+        "doc_id",
+        F.size(tokens_norm_col(F.col("clean_text"))).alias("n_tokens"),
+    )
+    return pack_sequences(counted, seq_len=_PIPE_SEQ_LEN).orderBy(
+        "seq_id", "doc_id"
+    )
+
+
+def _sql_sh(src: str) -> str:
+    """(doc_id, s) distinct 3-gram shingle sets over any (doc_id, text)
+    relation — the DuckDB mirror of operators.dedup._shingled + explode
+    semantics (empty/short docs produce no shingle rows)."""
+    return rf"""
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(t)-1),
+                                 i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM {src} WHERE text IS NOT NULL AND length(trim(text)) > 0)
+  WHERE len(t) >= 3
+"""
+
+
+def _sql_curation_pipeline() -> str:
+    toks_clean = _SQL_TOKS.replace("text", "clean_text")
+    return f"""
+WITH cbase AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+), cstats AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(list_transform(toks, t -> lower(t)),
+                              t -> t IN ({_STOPS})))::DOUBLE / len(toks)
+    END AS stop_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE length(trim(text))::DOUBLE / len(toks) END AS avg_len,
+    {_CURATE_LANGS["en"]} AS s_en, {_CURATE_LANGS["de"]} AS s_de,
+    {_CURATE_LANGS["fr"]} AS s_fr, {_CURATE_LANGS["es"]} AS s_es
+  FROM cbase
+), cscored AS (
+  SELECT doc_id, text, n_tokens,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+         ELSE 'unknown' END AS pred_lang,
+    CASE WHEN n_tokens = 0 THEN 0.0
+         ELSE 0.5*least(n_tokens/100.0, 1.0) + 0.3*(1.0-stop_ratio)
+              + 0.2*least(avg_len/10.0, 1.0) END AS quality
+  FROM cstats
+), ckept AS (
+  SELECT * FROM cscored
+  WHERE pred_lang = 'en' AND quality >= 0.3 AND n_tokens >= 3
+), curated AS (
+  SELECT doc_id, text FROM ckept
+  WHERE doc_id IN (SELECT min(doc_id) FROM ckept GROUP BY md5(text))
+), {_sql_lsh_ctes(src="curated")},
+ndsh AS ({_sql_sh("curated")}),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM lsh_cand c JOIN ndsh a ON c.id_a = a.doc_id
+                  JOIN ndsh b ON c.id_b = b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / len(list_distinct(a.s || b.s)) >= 0.5
+), kept2 AS (
+  SELECT doc_id, text FROM curated
+  WHERE doc_id NOT IN (SELECT id_b FROM verified)
+), bench_sh AS ({_sql_sh("(SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0)")}),
+bgrams AS (
+  SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM bench_sh)
+), k2sh AS ({_sql_sh("kept2")}),
+contam AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(s) AS g FROM k2sh) x
+  WHERE g IN (SELECT g FROM bgrams)
+), kept3 AS (
+  SELECT doc_id, text FROM kept2
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+), clean AS (
+  SELECT doc_id, {_sql_redact_chain("text")} AS clean_text FROM kept3
+), counted AS (
+  SELECT doc_id, len({toks_clean}) AS n_tokens FROM clean
+), off AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS tok_before
+  FROM counted WHERE n_tokens > 0
+)
+SELECT s.seq_id, o.doc_id,
+  greatest(0, s.seq_id * {_PIPE_SEQ_LEN} - o.tok_before)::BIGINT AS doc_tok_start,
+  least(o.n_tokens, (s.seq_id + 1) * {_PIPE_SEQ_LEN} - o.tok_before)::BIGINT AS doc_tok_end,
+  (least(o.n_tokens, (s.seq_id + 1) * {_PIPE_SEQ_LEN} - o.tok_before)
+   - greatest(0, s.seq_id * {_PIPE_SEQ_LEN} - o.tok_before))::BIGINT AS n_toks
+FROM off o, LATERAL unnest(range(o.tok_before // {_PIPE_SEQ_LEN},
+                                 (o.tok_before + o.n_tokens - 1) // {_PIPE_SEQ_LEN} + 1))
+     AS s(seq_id)
+ORDER BY s.seq_id, o.doc_id
+"""
+
+
+SQL_CURATION_PIPELINE = _sql_curation_pipeline()
 
 
 # --------------------------------------------------------------------------
@@ -800,6 +1003,7 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 QUERIES_EXT = {
     "corpus_stats": q_corpus_stats,
     "curate_corpus": q_curate_corpus,
+    "curation_pipeline": q_curation_pipeline,
     "decontaminate": q_decontaminate,
     "dedup_rows": q_dedup_rows,
     "pack_sequences": q_pack_sequences,
@@ -811,6 +1015,7 @@ QUERIES_EXT = {
     "lang_id": q_lang_id,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_lsh_capped": q_minhash_lsh_capped,
     "multimodal_frames": q_multimodal_frames,
     "near_dup_pairs": q_near_dup_pairs,
     "simhash": q_simhash,
@@ -824,6 +1029,7 @@ QUERIES_EXT = {
 ORACLES_EXT = {
     "corpus_stats": SQL_CORPUS_STATS,
     "curate_corpus": SQL_CURATE_CORPUS,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
     "decontaminate": SQL_DECONTAMINATE,
     "dedup_rows": SQL_DEDUP_ROWS,
     "pack_sequences": SQL_PACK_SEQUENCES,
@@ -835,6 +1041,7 @@ ORACLES_EXT = {
     "lang_id": SQL_LANG_ID,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "minhash_lsh_capped": SQL_MINHASH_LSH_CAPPED,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
     "simhash": SQL_SIMHASH,

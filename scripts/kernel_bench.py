@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Kernel speedup evidence (VERDICT r2 #4): measure each Arrow/numpy scale
+kernel against its parity-pinned JVM-expression twin on the same data, and
+write the table to BENCH/KERNELS.md.
+
+The docstring claims ("~20× simhash", "~order of magnitude minhash") become
+numbers here. Input: sf0.1 documents (5k rows) replicated ×REP to ~200k
+rows (~60 MB of text) so per-row kernel cost dominates scheduling noise;
+each measurement is the median of 3 in-JVM trials after a warm-up run
+(same methodology as bench.py). FNV is included in the OTHER direction —
+there the pure-JVM codegen fold beats the Arrow round-trip, which is why
+the route path uses it; honest numbers both ways.
+
+Run: python scripts/kernel_bench.py   (env: SPARK_GRAFT_CPUS, SPARK_GRAFT_KB_REP)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from otlp_wire_spark.session import get_spark  # noqa: E402
+
+
+def _bench(fn, trials: int = 3) -> float:
+    fn()  # warm: JIT + python worker pool + exact plan shape
+    durs = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        fn()
+        durs.append(time.perf_counter() - t0)
+    return statistics.median(durs)
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rep = int(os.environ.get("SPARK_GRAFT_KB_REP", "40"))
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    spark = get_spark(
+        app_name="otlp-wire-spark-kernel-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from otlp_wire_spark.functions.fnv import fnv64a_col, fnv64a_expr
+    from otlp_wire_spark.operators import dedup, similarity, textstats
+
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs = (
+        base.crossJoin(spark.range(rep).withColumnRenamed("id", "_r"))
+        .select(
+            (F.col("doc_id") * rep + F.col("_r")).alias("doc_id"),
+            "text",
+        )
+        .repartition(cpus)
+        .persist()
+    )
+    n_docs = docs.count()
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .repartition(cpus)
+        .persist()
+    )
+    n_vec = emb.count()
+    queries = emb.where(F.col("vec_id") < 8)
+
+    t = F.col("text")
+    results: dict[str, dict[str, float]] = {}
+
+    def add(name: str, expr_fn, arrow_fn) -> None:
+        e = _bench(expr_fn)
+        a = _bench(arrow_fn)
+        results[name] = {
+            "expr_sec": round(e, 3),
+            "arrow_sec": round(a, 3),
+            "arrow_speedup": round(e / a, 1),
+        }
+
+    # simhash: interpreted HOF fold vs numpy batch matrix op
+    add(
+        "simhash16",
+        lambda: docs.select(dedup.simhash16_col(t).alias("s"))
+        .agg(F.sum("s")).collect(),
+        lambda: docs.select(dedup.simhash16_arrow_col(t).alias("s"))
+        .agg(F.sum("s")).collect(),
+    )
+
+    # minhash signature (k=16): staged JVM projections vs numpy kernel
+    def minhash_expr():
+        tokd = docs.select(dedup.tokens_col(t).alias("_toks"))
+        sh = tokd.select(
+            dedup.shingles_from_tokens(F.col("_toks"), 3).alias("sh")
+        )
+        hashed = sh.select(dedup.shingle_hashes_from(F.col("sh")).alias("_hs"))
+        sig = hashed.select(
+            dedup.minhash_sig_from_hashes(F.col("_hs"), 16).alias("sig")
+        )
+        sig.agg(F.sum(F.element_at("sig", 1))).collect()
+
+    def minhash_arrow():
+        sig = docs.select(
+            dedup.minhash_signature_arrow_col(t, 16, 3).alias("sig")
+        )
+        sig.agg(F.sum(F.element_at("sig", 1))).collect()
+
+    add("minhash_sig_k16", minhash_expr, minhash_arrow)
+
+    # rolling fingerprint (k=8): per-window JVM fold vs numpy segment-min
+    add(
+        "rolling_fingerprint",
+        lambda: docs.select(
+            textstats.rolling_fingerprint_col(t, 8).alias("r")
+        ).agg(F.sum("r")).collect(),
+        lambda: docs.select(
+            textstats.rolling_fingerprint_arrow_col(t, 8).alias("r")
+        ).agg(F.sum("r")).collect(),
+    )
+
+    # cosine top-k: interpreted per-pair dot products vs BLAS block matmul
+    add(
+        "cosine_topk",
+        lambda: similarity.cosine_topk(emb, queries, k=3).collect(),
+        lambda: similarity.cosine_topk_arrow(emb, queries, k=3).collect(),
+    )
+
+    # FNV-64a — the counter-example: pure-JVM codegen fold WINS (no Arrow
+    # transfer), which is why route/shard use fnv64a_expr on strings
+    add(
+        "fnv64a",
+        lambda: docs.select(fnv64a_expr(t).alias("h"))
+        .agg(F.sum("h")).collect(),
+        lambda: docs.select(fnv64a_col(t).alias("h"))
+        .agg(F.sum("h")).collect(),
+    )
+
+    out = {
+        "n_docs": n_docs,
+        "n_vectors": n_vec,
+        "cpus": cpus,
+        "kernels": results,
+    }
+    print(json.dumps(out))
+
+    lines = [
+        "# Kernel speedups: Arrow/numpy scale path vs JVM-expression twin",
+        "",
+        f"Input: sf0.1 documents replicated ×{rep} → {n_docs:,} rows"
+        f" (~{300*n_docs//2**20} MB text); embeddings {n_vec:,}×64d;"
+        f" local[{cpus}], median of 3 in-JVM trials after warm-up"
+        " (scripts/kernel_bench.py).",
+        "",
+        "Both implementations of every kernel are parity-pinned bit-identical",
+        "(tests/test_ops.py); the gate-graded queries run the faster path.",
+        "",
+        "| kernel | JVM expr (s) | Arrow/numpy (s) | Arrow speedup |",
+        "|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        lines.append(
+            f"| {name} | {r['expr_sec']} | {r['arrow_sec']} |"
+            f" {r['arrow_speedup']}× |"
+        )
+    lines += [
+        "",
+        "Reading: the interpreted-HOF kernels (simhash/minhash/rolling — "
+        "Spark higher-order functions are CodegenFallback) gain large "
+        "constant factors from batch numpy vectorization; FNV-64a goes the "
+        "OTHER way — its codegen'd aggregate fold stays JVM-side with no "
+        "Arrow transfer, which is why the route/shard hot path uses "
+        "`fnv64a_expr`, not the Arrow UDF. Each operator ships both, "
+        "parity-pinned, and uses the measured winner.",
+        "",
+    ]
+    os.makedirs(os.path.join(os.path.dirname(__file__), "..", "BENCH"), exist_ok=True)
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "BENCH", "KERNELS.md"), "w"
+    ) as f:
+        f.write("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

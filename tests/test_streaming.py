@@ -153,3 +153,81 @@ def test_windowed_band_counts_with_watermark(spark, src_dir, tmp_path_factory):
     for r in got:
         got_list[int(r["band"])] = int(r["n"])
     assert got_list == want
+
+
+def test_stateful_ttl_expires_cold_hosts(spark, tmp_path_factory):
+    """TTL variant: a host idle past the TTL is emitted once with
+    expired=true (final totals — the hand-off row) and its state REMOVED,
+    so a returning host restarts from zero. One continuous query with a
+    processing-time trigger; files dropped into the source dir between
+    phases."""
+    import time
+
+    from otlp_wire_spark.operators.parse import parse_pages
+    from otlp_wire_spark.streaming.stateful import running_host_counters_ttl
+
+    src = str(tmp_path_factory.mktemp("ttl_src"))
+    ckpt = str(tmp_path_factory.mktemp("ttl_ckpt"))
+    schema = "url string, html binary"
+
+    def write_batch(host: str, n: int) -> None:
+        rows = [
+            (f"http://{host}/p{i}", bytearray(b"severity=1;<rec>r</rec>"))
+            for i in range(n)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def rows():
+        return spark.sql("SELECT * FROM ttl_counters").collect()
+
+    def wait_for(pred, what: str, deadline_s: float = 60.0):
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < deadline_s:
+            got = [r for r in rows() if pred(r)]
+            if got:
+                return got
+            time.sleep(0.3)
+        raise AssertionError(f"timed out waiting for {what}: {rows()}")
+
+    write_batch("a.example.com", 3)  # source dir must exist before start
+    stream = spark.readStream.schema(schema).parquet(src)
+    counters = running_host_counters_ttl(parse_pages(stream), ttl_ms=1000)
+    q = (
+        counters.writeStream.format("memory")
+        .queryName("ttl_counters")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        first = wait_for(
+            lambda r: r["url_host"] == "a.example.com" and not r["expired"],
+            "host a first totals",
+        )
+        assert first[0]["pages_total"] == 3
+
+        # go cold past the TTL, then hand-off: expired=true with FINAL totals
+        expired = wait_for(
+            lambda r: r["url_host"] == "a.example.com" and r["expired"],
+            "host a expiry hand-off",
+        )
+        assert expired[0]["pages_total"] == 3
+
+        # state was removed: the returning host restarts from zero
+        write_batch("a.example.com", 4)
+        wait_for(
+            lambda r: r["url_host"] == "a.example.com"
+            and not r["expired"]
+            and r["pages_total"] == 4,
+            "host a restarted from zero (4, not 7)",
+        )
+        # and never accumulated across the expiry boundary
+        assert not any(
+            r["url_host"] == "a.example.com" and r["pages_total"] == 7
+            for r in rows()
+        )
+    finally:
+        q.stop()

@@ -230,13 +230,17 @@ def minhash_sig_arrow_from_shingles(sh: Column, k: int = 16) -> Column:
 def minhash_signature_arrow_col(
     text: Column, k: int = 16, n: int = 3
 ) -> Column:
-    """Vectorized MinHash signature — the scale path for the 100 TB dedup.
+    """Vectorized MinHash signature — the Arrow twin of the JVM fold.
 
-    Spark higher-order functions are CodegenFallback (interpreted), so the
-    JVM signature pays ~0.5 ms/row; this Arrow kernel tokenizes and
-    shingles per batch in Python, hashes ALL distinct shingles through the
-    numpy FNV at once, evaluates the k permutations as one (k, N) matrix
-    op, and segment-mins per row (np.minimum.reduceat). Bit-identical to
+    Spark higher-order functions are CodegenFallback (interpreted); this
+    Arrow kernel tokenizes and shingles per batch in Python, hashes ALL
+    distinct shingles through the numpy FNV at once, evaluates the k
+    permutations as one (k, N) matrix op, and segment-mins per row
+    (np.minimum.reduceat). MEASURED end-to-end at 200k docs × local[32]
+    the two come out ~even (BENCH/KERNELS.md — the Python tokenization
+    costs about what the interpreted JVM fold costs); both ship because
+    the balance shifts with text length and cluster Python throughput.
+    Bit-identical to
     minhash_signature_col / the SQL oracle (same tokens, same shingles,
     same (a*x+b) mod p arithmetic in int64) — pinned by tests/test_ops.py.
     """
@@ -335,10 +339,9 @@ def minhash_lsh_candidates(
     bucket by (band_idx, band_signature), emit pairs sharing ≥1 bucket.
 
     ``impl='arrow'`` computes the signature with the vectorized numpy
-    kernel (minhash_signature_arrow_col — ~an order of magnitude less
-    per-row cost than the interpreted JVM HOF fold); 'expr' stays pure JVM.
-    Both are bit-identical (tests/test_ops.py) — banding/capping/pair
-    generation are shared.
+    kernel (minhash_signature_arrow_col); 'expr' stays pure JVM. Measured
+    ~even at sf0.1 scale (BENCH/KERNELS.md). Both are bit-identical
+    (tests/test_ops.py) — banding/capping/pair generation are shared.
 
     ``shingles`` (optional): a pre-materialized ``(id, sh)`` DataFrame (the
     shape ``shingle_table`` returns). When given, the signature derives
@@ -571,12 +574,15 @@ def simhash16_col(text: Column) -> Column:
 
 
 def simhash16_arrow_col(text: Column) -> Column:
-    """Vectorized SimHash — the scale path. Spark's higher-order functions
+    """Vectorized SimHash — the Arrow twin. Spark's higher-order functions
     (transform/aggregate/zip_with) are CodegenFallback, i.e. interpreted
-    per element; the expr impl pays ~0.4 ms/row. This Arrow-batched kernel
-    tokenizes per batch, runs the numpy FNV over ALL tokens at once, builds
-    the ±1 bit matrix in one shot and segment-sums per row — ~20× faster,
-    pinned bit-identical to simhash16_col (and thus to the SQL oracle) by
+    per element; this Arrow-batched kernel tokenizes per batch, runs the
+    numpy FNV over ALL tokens at once, builds the ±1 bit matrix in one
+    shot and segment-sums per row. Measured end-to-end it is a modest
+    ~1.1× at 200k docs × local[32] (BENCH/KERNELS.md — Python tokenization
+    eats most of the vectorization win; an earlier per-row '~20×'
+    extrapolation did not survive the parallel measurement). Pinned
+    bit-identical to simhash16_col (and thus to the SQL oracle) by
     tests/test_ops.py."""
     import numpy as np
     from pyspark.sql.types import IntegerType

@@ -110,7 +110,11 @@ def cosine_topk_arrow(
     computes each corpus Arrow batch's scores as ONE ``batch @ Q.T``
     matmul, emitting only a per-batch partial top-k (≤ k rows per query
     per batch) so the final global rank runs over partitions×k×|Q| rows,
-    never the corpus. Same semantics as cosine_topk: self-match excluded,
+    never the corpus. That shuffle-volume bound is the scale argument —
+    at toy size (2k×8, BENCH/KERNELS.md) the expr kernel is actually
+    faster because worker+Arrow overhead beats BLAS; the win appears when
+    |corpus|×|Q| scored rows no longer fit a single rank stage.
+    Same semantics as cosine_topk: self-match excluded,
     cosine rounded to 4dp, ties by ascending corpus id — parity-pinned by
     tests/test_ops.py."""
     from collections.abc import Iterator

@@ -225,3 +225,73 @@ def fingerprint_col(text: Column) -> Column:
     """64-bit content fingerprint: FNV-64a of the raw text (bit pattern as
     LongType). NULL text hashes as empty (reference absent→basis analog)."""
     return fnv64a_expr(F.coalesce(text, F.lit("")))
+
+
+def repetition_stats(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Gopher-style repetition signals per document — the standard
+    "repetitious boilerplate" filters a web-scale curation run applies
+    alongside quality/lang scores (Rae et al. 2021, §A1.1 heuristics;
+    public-domain thresholds, re-derived here):
+
+    - ``n_lines``: newline-split line count (empty/NULL text → 0)
+    - ``dup_line_q4``: fraction of lines that are duplicates of an earlier
+      line, floor-quantized ×10⁴ (cross-engine float discipline)
+    - ``top_2gram_q4``: occurrences of the MOST frequent token 2-gram over
+      all 2-gram occurrences, floor-quantized ×10⁴
+
+    Shape at scale: the line stats are a narrow codegen'd projection (zero
+    shuffle); the 2-gram mode needs per-(doc, gram) counts — explode →
+    two hash aggregations keyed by doc_id (map-side partials; the doc_id
+    key is high-cardinality and unskewed) → broadcast-safe join back.
+    Never a driver collect; never a global gram table.
+    """
+    t = F.col(text_col)
+    lines = F.when(
+        t.isNull() | (F.length(t) == 0), F.array().cast("array<string>")
+    ).otherwise(F.split(t, "\n", -1))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        lines.alias("_lines"),
+        tokens_norm_col(t).alias("_toks"),
+    )
+    line_stats = base.select(
+        "doc_id",
+        F.size("_lines").cast("int").alias("n_lines"),
+        (F.size("_lines") - F.size(F.array_distinct("_lines")))
+        .cast("long")
+        .alias("_dups"),
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_toks") < 2, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - 2),
+                    lambda i: F.array_join(F.slice("_toks", i + 1, 2), " "),
+                )
+            )
+        ).alias("_g"),
+    )
+    gram_stats = (
+        grams.groupBy("doc_id", "_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("doc_id")
+        .agg(F.max("_n").alias("_mx"), F.sum("_n").alias("_tot"))
+    )
+    joined = line_stats.join(gram_stats, "doc_id", "left")
+    dup_frac = F.when(
+        F.col("n_lines") == 0, F.lit(0.0)
+    ).otherwise(F.col("_dups") / F.col("n_lines"))
+    top_frac = F.when(
+        F.coalesce(F.col("_tot"), F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(F.col("_mx") / F.col("_tot"))
+    return joined.select(
+        "doc_id",
+        "n_lines",
+        quantize4(dup_frac).alias("dup_line_q4"),
+        quantize4(top_frac).alias("top_2gram_q4"),
+    )

@@ -581,6 +581,50 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
+# Gopher-style repetition filters: duplicate-line fraction + most-frequent
+# token-2-gram fraction — the boilerplate-repetition signals a web curation
+# run applies alongside lang/quality scores
+# --------------------------------------------------------------------------
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+SQL_REPETITION_STATS = rf"""
+WITH l AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR length(text) = 0 THEN []::VARCHAR[]
+         ELSE string_split(text, chr(10)) END AS lines,
+    {_SQL_TOKS} AS toks
+  FROM documents
+), ls AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         len(lines) - len(list_distinct(lines)) AS dups, toks
+  FROM l
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(toks)),
+                             i -> toks[i] || ' ' || toks[i+1]) END AS grams
+  FROM l
+), gc AS (
+  SELECT doc_id, g2, count(*) AS n
+  FROM (SELECT doc_id, unnest(grams) AS g2 FROM g) GROUP BY 1, 2
+), gs AS (
+  SELECT doc_id, max(n) AS mx, sum(n) AS tot FROM gc GROUP BY 1
+)
+SELECT ls.doc_id, n_lines::INT AS n_lines,
+  CASE WHEN n_lines = 0 THEN 0
+       ELSE floor(dups::DOUBLE / n_lines * 10000.0) END::BIGINT AS dup_line_q4,
+  CASE WHEN coalesce(tot, 0) = 0 THEN 0
+       ELSE floor(mx::DOUBLE / tot * 10000.0) END::BIGINT AS top_2gram_q4
+FROM ls LEFT JOIN gs ON ls.doc_id = gs.doc_id
+ORDER BY ls.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # composed end-to-end LLM curation pipeline — the shape a real 100 TB
 # training-data run executes, oracled as ONE composition:
 #   curate (lang/quality/length + exact dedup)
@@ -604,9 +648,17 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_wire_spark.operators.pack import pack_sequences
     from otlp_wire_spark.operators.textstats import tokens_norm_col
 
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
-    # 1. curate: score (narrow scan) → filter → exact dedup keep-rows
-    kept = curate(docs, langs=("en",), min_quality=0.3, min_tokens=3)
+    # 1. curate: score (narrow scan) → filter → exact dedup keep-rows.
+    #    PERSISTED: the survivors feed the near-dup shingle table, the
+    #    anti-join left side, and (transitively) every pack driver action —
+    #    without a cache each action re-runs the full scoring+dedup chain
+    #    (measured 2.5× end-to-end cost at sf0.1).
+    kept = curate(docs, langs=("en",), min_quality=0.3, min_tokens=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # 2. near-dup removal on the survivors — single-scan LSH→verify, then
     #    drop the HIGHER id of every verified pair (min-id representative
     #    survives, consistent with the exact-dedup convention)
@@ -624,11 +676,15 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = kept3.select(
         "doc_id", redact_text(F.col("text")).alias("clean_text")
     )
-    # 5. pack the cleaned corpus into training sequences
+    # 5. pack the cleaned corpus into training sequences. `counted` is
+    #    PERSISTED + materialized: global_token_offsets runs three driver
+    #    actions (bucket-boundary quantiles, per-bucket sums, the window
+    #    pass) — each would otherwise recompute stages 1-4 from scratch.
     counted = clean.select(
         "doc_id",
         F.size(tokens_norm_col(F.col("clean_text"))).alias("n_tokens"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    counted.count()
     return pack_sequences(counted, seq_len=_PIPE_SEQ_LEN).orderBy(
         "seq_id", "doc_id"
     )
@@ -1012,6 +1068,7 @@ QUERIES_EXT = {
     "token_stats": q_token_stats,
     "vocab_topk": q_vocab_topk,
     "quality_scores": q_quality_scores,
+    "repetition_stats": q_repetition_stats,
     "lang_id": q_lang_id,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1038,6 +1095,7 @@ ORACLES_EXT = {
     "token_stats": SQL_TOKEN_STATS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "quality_scores": SQL_QUALITY_SCORES,
+    "repetition_stats": SQL_REPETITION_STATS,
     "lang_id": SQL_LANG_ID,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

@@ -294,3 +294,14 @@ def test_plan_is_arrow_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_helper_column_collision_rejected(spark):
+    """parse_pages_expr stages helper columns under fixed names; an input
+    that already carries one must fail loudly instead of silently
+    destroying the column."""
+    import pytest
+
+    df = generate_pages(spark, 5).withColumn("_ps", F.lit("user data"))
+    with pytest.raises(ValueError, match="_ps"):
+        parse_pages(df)

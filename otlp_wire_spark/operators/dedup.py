@@ -49,6 +49,10 @@ def _jvm_tokens(t: object) -> list[str]:
 
 from otlp_wire_spark.functions.fnv import fnv64a_expr
 
+# last near_dup_pairs(persist=True) shingle cache — retired on the next
+# call so unreachable caches stay bounded at one generation
+_LAST_PERSISTED_SHINGLES: list = []
+
 # Deterministic permutation constants for MinHash: LCG over a fixed seed.
 # Mirrored literally in the SQL oracle (queries.py) — change in lockstep.
 MERSENNE_P = (1 << 31) - 1  # 2^31-1, prime
@@ -499,7 +503,18 @@ def near_dup_pairs(
         if persist:
             from pyspark import StorageLevel
 
+            # bounded cache generations: the internal side-table has no
+            # caller-visible handle, so retire the PREVIOUS call's cache
+            # before creating a new one — a long-lived session (gate/bench
+            # loops) otherwise accumulates unreachable caches forever
+            prev = _LAST_PERSISTED_SHINGLES.pop() if _LAST_PERSISTED_SHINGLES else None
+            if prev is not None:
+                try:
+                    prev.unpersist()
+                except Exception:  # noqa: BLE001 — session may be gone
+                    prev = None
             shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+            _LAST_PERSISTED_SHINGLES.append(shingles)
             # materialize EAGERLY: the sig stage and the two verify-join map
             # stages have no mutual dependency, so Spark submits them
             # concurrently — racing tasks would each compute the uncached

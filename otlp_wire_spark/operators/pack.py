@@ -35,17 +35,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _bucket_bounds(
-    df: DataFrame, id_col: str, parts: int
-) -> list[float]:
-    """Approximate id quantile boundaries — balance only, never correctness
+def _bucket_bounds(df: DataFrame, id_col: str, parts: int) -> list:
+    """Approximate id boundary literals — balance only, never correctness
     (any boundary set yields exact prefix sums; skewed buckets just skew
-    work). Non-numeric id columns fall back to a single bucket."""
-    probs = [i / parts for i in range(1, parts)]
-    try:
+    work). Numeric ids use approxQuantile; other orderable ids (strings)
+    use a seeded reservoir sample — both are collected ONCE and become
+    literals, so bucket assignment stays a pure function of the row.
+    Errors propagate: silently collapsing to one bucket would serialize
+    the pass-2 window into a single task at scale."""
+    from pyspark.sql.types import NumericType
+
+    field = df.schema[id_col]
+    if isinstance(field.dataType, NumericType):
+        probs = [i / parts for i in range(1, parts)]
         return sorted(set(df.stat.approxQuantile(id_col, probs, 0.001)))
-    except Exception:
+    sample = sorted(
+        r[0]
+        for r in df.select(id_col)
+        .rdd.takeSample(False, parts * 20, seed=7)
+        if r[0] is not None
+    )
+    if not sample:
         return []
+    step = max(1, len(sample) // parts)
+    return sorted(set(sample[step::step]))
 
 
 def global_token_offsets(

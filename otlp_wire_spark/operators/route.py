@@ -117,10 +117,19 @@ def write_sharded_with_manifest(
     counters (it reads the committed files), one extra scan, no 30k-wide
     aggregate. The returned dict's ``.strategy`` attribute says which path
     ran. ``extra_metrics`` ride the write job via Observation on BOTH
-    paths (they're O(#metrics), not O(shards))."""
+    paths (they're O(#metrics), not O(shards)).
+
+    Read-back parity details: the read-back aggregate restricts to shards
+    0..num_shards-1, so out-of-range sentinel shards (the fused pipeline's
+    ``shard=-1`` quarantine sink) are counted by their ``extra_metrics``
+    only — exactly like the observe path. And because a read-back counts
+    whatever is COMMITTED in the sink (not just this job's rows), it is
+    only used with ``mode="overwrite"``; append-mode writes keep the
+    observe strategy at any shard count (this-job-only counters beat agg
+    width)."""
     from pyspark.sql import Observation
 
-    use_readback = num_shards > observe_threshold
+    use_readback = num_shards > observe_threshold and mode == "overwrite"
     shard = F.col("shard")
     rec = F.col("parsed.record_count")
     size = F.length(F.col(payload_col))
@@ -150,7 +159,10 @@ def write_sharded_with_manifest(
         # shards are filled with zeros
         sink = routed.sparkSession.read.format(fmt).load(out_path)
         agg_rows = (
-            sink.groupBy("shard")
+            sink.where(
+                (F.col("shard") >= 0) & (F.col("shard") < num_shards)
+            )
+            .groupBy("shard")
             .agg(
                 F.count(F.lit(1)).alias("p"),
                 F.sum(rec).cast("long").alias("r"),

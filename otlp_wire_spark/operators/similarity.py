@@ -258,7 +258,14 @@ def ivf_assign_cells(
     return corpus.select(
         F.col(id_col).alias("c_id"),
         _as_double(F.col(vec_col)).alias("c_v"),
-        ivf_assign_col(F.col(vec_col), cents).alias("cell"),
+        ivf_assign_col(F.col(vec_col), cents).alias(
+            # quantizer identity travels WITH the table (column metadata
+            # survives persist and saveAsTable): ivf_ann_topk refuses an
+            # assigned table built with a different quantizer — a mismatch
+            # would silently join cells that mean different centroids
+            "cell",
+            metadata={"ivf_dim": dim, "ivf_n_centroids": n_centroids},
+        ),
     )
 
 
@@ -301,11 +308,20 @@ def ivf_ann_topk(
     (persisted/bucketed). When given, the per-call corpus scan + centroid
     math disappear entirely — repeat query batches touch only the index."""
     cents = ivf_centroids(dim, n_centroids)
-    c = (
-        assigned
-        if assigned is not None
-        else ivf_assign_cells(corpus, dim, n_centroids, id_col, vec_col)
-    )
+    if assigned is not None:
+        meta = assigned.schema["cell"].metadata or {}
+        want = {"ivf_dim": dim, "ivf_n_centroids": n_centroids}
+        got = {k: meta.get(k) for k in want}
+        if any(v is not None for v in got.values()) and got != want:
+            raise ValueError(
+                f"ivf_ann_topk: assigned cell table was built with {got}, "
+                f"query uses {want} — cell ids would join across different "
+                "quantizers. Rebuild with ivf_assign_cells at matching "
+                "dim/n_centroids."
+            )
+        c = assigned
+    else:
+        c = ivf_assign_cells(corpus, dim, n_centroids, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("q_id"),
         _as_double(F.col(vec_col)).alias("q_v"),

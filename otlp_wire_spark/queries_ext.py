@@ -638,6 +638,19 @@ ORDER BY ls.doc_id
 
 _PIPE_SEQ_LEN = 128
 
+# previous call's internal caches — retired at the next call (bounded at
+# one generation; a long-lived gate/bench session would otherwise
+# accumulate unreachable MEMORY_AND_DISK entries)
+_PIPE_CACHES: list = []
+
+
+def _retire_pipe_caches() -> None:
+    while _PIPE_CACHES:
+        try:
+            _PIPE_CACHES.pop().unpersist()
+        except Exception:  # noqa: BLE001 — session may be gone
+            pass
+
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_wire_spark.operators.curate import (
@@ -656,9 +669,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    anti-join left side, and (transitively) every pack driver action —
     #    without a cache each action re-runs the full scoring+dedup chain
     #    (measured 2.5× end-to-end cost at sf0.1).
+    _retire_pipe_caches()
     kept = curate(docs, langs=("en",), min_quality=0.3, min_tokens=3).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _PIPE_CACHES.append(kept)
     # 2. near-dup removal on the survivors — single-scan LSH→verify, then
     #    drop the HIGHER id of every verified pair (min-id representative
     #    survives, consistent with the exact-dedup convention)
@@ -684,6 +699,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(tokens_norm_col(F.col("clean_text"))).alias("n_tokens"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PIPE_CACHES.append(counted)
     counted.count()
     return pack_sequences(counted, seq_len=_PIPE_SEQ_LEN).orderBy(
         "seq_id", "doc_id"

@@ -115,3 +115,91 @@ def test_manifest_readback_with_extra_metrics(spark, tmp_path):
     )
     assert per_shard.strategy == "readback"
     assert int(extras["n_rows"]) == 200
+
+
+def test_manifest_readback_ignores_sentinel_shards(spark, tmp_path):
+    """Fused-mode quarantine rows land in shard=-1; the read-back manifest
+    must restrict to 0..num_shards-1 (their counts ride extra_metrics, as
+    on the observe path) — a phantom -1 key would double-count quarantined
+    rows in the pipeline's conservation total."""
+    from otlp_wire_spark.operators.route import write_sharded_with_manifest
+
+    routed = _mk_routed(spark, 300, 128).withColumn(
+        "shard",
+        F.when(F.col("parsed.parse_error").isNotNull(), F.lit(-1)).otherwise(
+            F.col("shard")
+        ),
+    )
+    n_quar = routed.where(F.col("shard") == -1).count()
+    assert n_quar > 0, "fixture must quarantine some rows"
+    per_shard, extras = write_sharded_with_manifest(
+        routed, str(tmp_path / "sink_q"), 128,
+        extra_metrics={
+            "quarantined": F.sum(F.when(F.col("shard") == -1, 1).otherwise(0))
+        },
+    )
+    assert per_shard.strategy == "readback"
+    assert set(per_shard) == set(range(128))  # no -1 key
+    assert sum(v["page_count"] for v in per_shard.values()) == 300 - n_quar
+    assert int(extras["quarantined"]) == n_quar
+
+
+def test_manifest_append_mode_keeps_observe_strategy(spark, tmp_path):
+    """A read-back counts whatever is committed, so append-mode writes must
+    stay on the this-job-only observe strategy at any shard count."""
+    from otlp_wire_spark.operators.route import write_sharded_with_manifest
+
+    routed = _mk_routed(spark, 100, 128)
+    out = str(tmp_path / "sink_app")
+    first = write_sharded_with_manifest(routed, out, 128, mode="append")
+    second = write_sharded_with_manifest(routed, out, 128, mode="append")
+    assert first.strategy == "observe" and second.strategy == "observe"
+    # each call reports ITS OWN write, not the accumulated sink
+    assert sum(v["page_count"] for v in second.values()) == 100
+
+
+def test_ivf_assigned_quantizer_mismatch_rejected(spark, vectors):
+    assigned = similarity.ivf_assign_cells(vectors, dim=8, n_centroids=8)
+    with pytest.raises(ValueError, match="quantizer"):
+        similarity.ivf_ann_topk(
+            vectors, vectors.where(F.col("vec_id") < 2), dim=8, k=2,
+            n_centroids=4, assigned=assigned,
+        )
+
+
+def test_pack_string_ids_use_sampled_bounds(spark):
+    """Non-numeric id columns take the seeded-sample boundary path — same
+    exact packing as the numeric path, no silent single-bucket collapse."""
+    from otlp_wire_spark.operators.pack import pack_sequences
+
+    rows = [(f"doc-{i:05d}", (i * 7) % 23 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens int").repartition(7)
+    out = sorted(
+        (r.seq_id, r.doc_id, r.doc_tok_start, r.doc_tok_end)
+        for r in pack_sequences(df, seq_len=64).collect()
+    )
+    # sequential reference packer
+    want, tok = [], 0
+    for did, n in sorted(rows):
+        start = 0
+        while start < n:
+            seq = (tok + start) // 64
+            end = min(n, (seq + 1) * 64 - tok)
+            want.append((seq, did, start, end))
+            start = end
+        tok += n
+    assert out == sorted(want)
+
+
+def test_near_dup_persist_cache_bounded(spark):
+    from otlp_wire_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    dedup.near_dup_pairs(docs, persist=True).collect()
+    dedup.near_dup_pairs(docs.where(F.col("doc_id") < 10), persist=True).collect()
+    assert len(dedup._LAST_PERSISTED_SHINGLES) == 1  # one generation kept
+    spark.catalog.clearCache()
+    dedup._LAST_PERSISTED_SHINGLES.clear()

@@ -27,7 +27,7 @@ import re as _re
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Exact Python mirror of the JVM tokenization (tokens_col): F.trim strips
@@ -296,6 +296,112 @@ def exact_dedup_rows(
         df.groupBy(F.md5(F.col(text_col)).alias("_h"))
         .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_row"))
         .select(*[F.col(f"_row.{c}").alias(c) for c in cols])
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 3,
+) -> DataFrame:
+    """Cross-corpus SEGMENT-level exact dedup — the line/paragraph dedup a
+    web-scale curation run applies between whole-document dedup and
+    near-dup removal (RefinedWeb-style repeated-span removal, re-expressed
+    for newline-free corpora as consecutive ``seg_tokens``-token chunks).
+
+    Semantics (exactly mirrored by the SQL oracle): split each document's
+    whitespace tokens into consecutive ``seg_tokens``-sized segments (last
+    one may be short); across the WHOLE corpus keep only the first
+    occurrence of each distinct segment text, first = lowest
+    ``(id, position)``; rebuild each document as the space-join of its
+    surviving segments, in original order. Within-doc repeats of a segment
+    are duplicates too. Empty/NULL docs survive with ``clean_text = ''``.
+
+    Scale shape (100 TB): ONE corpus scan, two exchanges, zero joins.
+    ``posexplode_outer`` keeps zero-segment documents as a (null, null)
+    segment row, so the final per-doc aggregate covers every document
+    without a join back to a second scan of the corpus. The
+    first-occurrence window partitions on the segment TEXT (the grouping
+    key IS the segment, so semantics are exact with no hash-collision
+    caveat; a segment is ~tens of bytes, small for a shuffle key) — with
+    null-segment rows salted by doc id so a corpus with 10^9 empty docs
+    doesn't funnel them into one window group. Hot boilerplate segments
+    (cookie banners repeated 10^9×) make big real groups: row_number over
+    a sorted group spills rather than OOMs (same argument as the LSH
+    bucket cap), and a pre-cap like minhash_lsh_candidates' could bound
+    them if profiles demand. Reassembly's collect_list is bounded by
+    document length, not corpus size.
+
+    Reference parity: composes the counting discipline of exact_dedup
+    (first-occurrence-wins, reference internal/exp/metadata/identity.go
+    semantics applied at sub-document granularity).
+    """
+    s = seg_tokens
+    toks = tokens_col(F.col(text_col))
+    staged = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).select(
+        "_id",
+        "_toks",
+        # ceil(n_toks / s) via integer arithmetic — small ints, exact
+        F.floor((F.size("_toks") + F.lit(s - 1)) / F.lit(s))
+        .cast("int")
+        .alias("_n_segs"),
+    )
+    # stage the token array as an attribute BEFORE the transform lambda:
+    # Catalyst re-evaluates non-attribute outer expressions per element
+    # (see shingles_from_tokens) — the regex split must run once per row.
+    # posexplode_OUTER: zero-segment docs (empty/NULL text) survive as one
+    # (null, null) row instead of disappearing from the aggregate.
+    segs = staged.select(
+        "_id",
+        "_n_segs",
+        F.posexplode_outer(
+            F.when(
+                F.col("_n_segs") == 0, F.lit(None).cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_n_segs") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_toks"), i * s + 1, s)
+                    ),
+                )
+            )
+        ).alias("_pos", "_seg"),
+    )
+    # null segments get a per-doc salt so empty docs don't pile into one
+    # window group; their rn is never used (the keep flag requires a
+    # non-null segment)
+    first_w = Window.partitionBy(
+        "_seg", F.when(F.col("_seg").isNull(), F.col("_id")).otherwise(F.lit(0))
+    ).orderBy("_id", "_pos")
+    flagged = segs.withColumn(
+        "_keep",
+        F.col("_seg").isNotNull() & (F.row_number().over(first_w) == 1),
+    )
+    return flagged.groupBy("_id").agg(
+        F.first("_n_segs").alias("n_segs"),
+        F.sum(F.col("_keep").cast("int")).cast("int").alias("n_kept"),
+        (
+            F.first("_n_segs") - F.sum(F.col("_keep").cast("int")).cast("int")
+        ).alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                # collect_list drops nulls: non-kept rows contribute nothing
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_pos", "_seg"))
+                    )
+                ),
+                lambda kv: kv["_seg"],
+            ),
+        ).alias("clean_text"),
+    ).select(
+        F.col("_id").alias(id_col),
+        "n_segs",
+        "n_kept",
+        "n_dropped",
+        "clean_text",
     )
 
 

@@ -581,6 +581,57 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
+# Cross-corpus segment-level exact dedup (RefinedWeb-style repeated-span
+# removal): global first-occurrence-wins over consecutive 3-token segments,
+# documents rebuilt from their surviving segments
+# --------------------------------------------------------------------------
+
+_SEG_TOKENS = 3
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.segment_dedup(
+        docs, "doc_id", "text", seg_tokens=_SEG_TOKENS
+    ).orderBy("doc_id")
+
+
+_S = _SEG_TOKENS
+SQL_SEGMENT_DEDUP = rf"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks,
+         ((len({_SQL_TOKS}) + {_S - 1}) // {_S})::INT AS n_segs
+  FROM documents
+), segd AS (
+  SELECT doc_id,
+    CASE WHEN n_segs = 0 THEN []::STRUCT(pos INT, seg VARCHAR)[]
+         ELSE list_transform(range(1, n_segs + 1),
+              i -> {{'pos': (i-1)::INT,
+                     'seg': array_to_string(toks[(i-1)*{_S}+1:(i-1)*{_S}+{_S}], ' ')}})
+    END AS segl
+  FROM base
+), segs AS (
+  SELECT doc_id, u.pos AS pos, u.seg AS seg
+  FROM (SELECT doc_id, unnest(segl) AS u FROM segd)
+), firsts AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM segs
+), kept AS (
+  SELECT doc_id, count(*)::INT AS n_kept,
+         string_agg(seg, ' ' ORDER BY pos) AS clean_text
+  FROM firsts WHERE rn = 1 GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_segs,
+       coalesce(k.n_kept, 0)::INT AS n_kept,
+       (b.n_segs - coalesce(k.n_kept, 0))::INT AS n_dropped,
+       coalesce(k.clean_text, '') AS clean_text
+FROM base b LEFT JOIN kept k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Gopher-style repetition filters: duplicate-line fraction + most-frequent
 # token-2-gram fraction — the boilerplate-repetition signals a web curation
 # run applies alongside lang/quality scores
@@ -1085,6 +1136,7 @@ QUERIES_EXT = {
     "vocab_topk": q_vocab_topk,
     "quality_scores": q_quality_scores,
     "repetition_stats": q_repetition_stats,
+    "segment_dedup": q_segment_dedup,
     "lang_id": q_lang_id,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1112,6 +1164,7 @@ ORACLES_EXT = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "quality_scores": SQL_QUALITY_SCORES,
     "repetition_stats": SQL_REPETITION_STATS,
+    "segment_dedup": SQL_SEGMENT_DEDUP,
     "lang_id": SQL_LANG_ID,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

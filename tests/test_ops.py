@@ -438,3 +438,78 @@ def test_multimodal_plan_is_arrow(spark):
     df = extract_media_features(generate_media(spark, 10))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def _python_segment_dedup(rows, s=3):
+    """Sequential reference: global first-occurrence segment dedup."""
+    seen = set()
+    out = {}
+    for did, text in sorted(rows):
+        toks = text.split() if text and text.strip() else []
+        segs = [" ".join(toks[i : i + s]) for i in range(0, len(toks), s)]
+        kept = []
+        for seg in segs:
+            if seg not in seen:
+                seen.add(seg)
+                kept.append(seg)
+        out[did] = (len(segs), len(kept), len(segs) - len(kept), " ".join(kept))
+    return out
+
+
+def test_segment_dedup_hand_built(spark):
+    """First (id, pos) occurrence of a segment survives globally; within-doc
+    repeats are duplicates; empty docs survive with empty clean_text."""
+    rows = [
+        (1, "a b c x y z a b c"),   # segs: "a b c","x y z","a b c"(dup)
+        (2, "a b c q r s"),          # "a b c" already owned by doc 1
+        (3, None),
+        (4, "q r s"),                # owned by doc 2
+        (5, "fresh words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_segs, r.n_kept, r.n_dropped, r.clean_text)
+        for r in dedup.segment_dedup(df).collect()
+    }
+    assert got == {
+        1: (3, 2, 1, "a b c x y z"),
+        2: (2, 1, 1, "q r s"),
+        3: (0, 0, 0, ""),
+        4: (1, 0, 1, ""),
+        5: (1, 1, 0, "fresh words here"),
+    }
+
+
+def test_segment_dedup_property_matches_python(spark):
+    """Distributed answer == sequential reference over a corpus dense enough
+    to collide, under arbitrary partitioning."""
+    vocab = ["red", "blue", "green", "gold"]
+    rows = [
+        (i, " ".join(vocab[(i * 7 + j) % 4] for j in range((i % 11) + 1)))
+        for i in range(120)
+    ]
+    rows += [(200 + i, "") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    got = {
+        r.doc_id: (r.n_segs, r.n_kept, r.n_dropped, r.clean_text)
+        for r in dedup.segment_dedup(df).collect()
+    }
+    want = _python_segment_dedup(rows)
+    assert got == want
+    assert sum(v[2] for v in want.values()) > 0, "fixture must collide"
+
+
+def test_segment_dedup_plan_single_scan_two_exchanges(spark):
+    """The 100 TB shape: ONE corpus scan (posexplode_outer keeps empty docs
+    without a join back to a second scan), one exchange for the
+    first-occurrence window, one for the per-doc aggregate, no Python."""
+    import re
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = dedup.segment_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"\bJoin", plan)) == 0
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2

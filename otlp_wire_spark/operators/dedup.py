@@ -299,6 +299,76 @@ def exact_dedup_rows(
     )
 
 
+def _doc_segments(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int
+) -> DataFrame:
+    """Explode documents into consecutive ``seg_tokens``-token segments →
+    columns ``(_id, _n_segs, _pos, _seg)``. Zero-segment documents
+    (empty/NULL text) survive as ONE ``(_pos, _seg) = (null, null)`` row
+    (``posexplode_outer``), so downstream per-doc aggregates cover every
+    document without a join back to a second corpus scan."""
+    s = seg_tokens
+    toks = tokens_col(F.col(text_col))
+    staged = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).select(
+        "_id",
+        "_toks",
+        # ceil(n_toks / s) via integer arithmetic — small ints, exact
+        F.floor((F.size("_toks") + F.lit(s - 1)) / F.lit(s))
+        .cast("int")
+        .alias("_n_segs"),
+    )
+    # stage the token array as an attribute BEFORE the transform lambda:
+    # Catalyst re-evaluates non-attribute outer expressions per element
+    # (see shingles_from_tokens) — the regex split must run once per row
+    return staged.select(
+        "_id",
+        "_n_segs",
+        F.posexplode_outer(
+            F.when(
+                F.col("_n_segs") == 0, F.lit(None).cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_n_segs") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_toks"), i * s + 1, s)
+                    ),
+                )
+            )
+        ).alias("_pos", "_seg"),
+    )
+
+
+def segment_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus boilerplate mining: the k most-repeated ``seg_tokens``-token
+    segments with occurrence and distinct-document counts — the report a
+    curation run uses to eyeball what segment_dedup is about to strip
+    (cookie banners, nav chrome, licence blurbs).
+
+    Scale shape: one scan → explode → hash aggregate on the segment text
+    (map-side partials absorb hot boilerplate before the shuffle; the
+    distinct-doc count rides the same aggregate) → global top-k, which is
+    a partial per-partition TakeOrdered, never a full sort. Deterministic
+    under ties: (count DESC, segment ASC).
+    """
+    segs = _doc_segments(df, id_col, text_col, seg_tokens)
+    return (
+        segs.where(F.col("_seg").isNotNull())
+        .groupBy(F.col("_seg").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct(F.col("_id")).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("segment"))
+        .limit(k)
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -337,37 +407,7 @@ def segment_dedup(
     (first-occurrence-wins, reference internal/exp/metadata/identity.go
     semantics applied at sub-document granularity).
     """
-    s = seg_tokens
-    toks = tokens_col(F.col(text_col))
-    staged = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).select(
-        "_id",
-        "_toks",
-        # ceil(n_toks / s) via integer arithmetic — small ints, exact
-        F.floor((F.size("_toks") + F.lit(s - 1)) / F.lit(s))
-        .cast("int")
-        .alias("_n_segs"),
-    )
-    # stage the token array as an attribute BEFORE the transform lambda:
-    # Catalyst re-evaluates non-attribute outer expressions per element
-    # (see shingles_from_tokens) — the regex split must run once per row.
-    # posexplode_OUTER: zero-segment docs (empty/NULL text) survive as one
-    # (null, null) row instead of disappearing from the aggregate.
-    segs = staged.select(
-        "_id",
-        "_n_segs",
-        F.posexplode_outer(
-            F.when(
-                F.col("_n_segs") == 0, F.lit(None).cast("array<string>")
-            ).otherwise(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("_n_segs") - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("_toks"), i * s + 1, s)
-                    ),
-                )
-            )
-        ).alias("_pos", "_seg"),
-    )
+    segs = _doc_segments(df, id_col, text_col, seg_tokens)
     # null segments get a per-doc salt so empty docs don't pile into one
     # window group; their rn is never used (the keep flag requires a
     # non-null segment)

@@ -631,6 +631,34 @@ ORDER BY doc_id
 """
 
 
+def q_segment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.segment_topk(docs, "doc_id", "text", seg_tokens=_SEG_TOKENS, k=20)
+
+
+SQL_SEGMENT_TOPK = rf"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks,
+         ((len({_SQL_TOKS}) + {_S - 1}) // {_S})::INT AS n_segs
+  FROM documents
+), segd AS (
+  SELECT doc_id,
+    CASE WHEN n_segs = 0 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, n_segs + 1),
+              i -> array_to_string(toks[(i-1)*{_S}+1:(i-1)*{_S}+{_S}], ' '))
+    END AS segl
+  FROM base
+), segs AS (
+  SELECT doc_id, unnest(segl) AS seg FROM segd
+)
+SELECT seg AS segment, count(*)::BIGINT AS n_occurrences,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM segs GROUP BY seg
+ORDER BY n_occurrences DESC, segment
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Gopher-style repetition filters: duplicate-line fraction + most-frequent
 # token-2-gram fraction — the boilerplate-repetition signals a web curation
@@ -1137,6 +1165,7 @@ QUERIES_EXT = {
     "quality_scores": q_quality_scores,
     "repetition_stats": q_repetition_stats,
     "segment_dedup": q_segment_dedup,
+    "segment_topk": q_segment_topk,
     "lang_id": q_lang_id,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1165,6 +1194,7 @@ ORACLES_EXT = {
     "quality_scores": SQL_QUALITY_SCORES,
     "repetition_stats": SQL_REPETITION_STATS,
     "segment_dedup": SQL_SEGMENT_DEDUP,
+    "segment_topk": SQL_SEGMENT_TOPK,
     "lang_id": SQL_LANG_ID,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

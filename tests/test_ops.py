@@ -513,3 +513,20 @@ def test_segment_dedup_plan_single_scan_two_exchanges(spark):
     assert "BatchEvalPython" not in plan
     assert len(re.findall(r"\bJoin", plan)) == 0
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_segment_topk_counts_and_tiebreak(spark):
+    rows = [
+        (1, "a b c x y z"),     # "a b c", "x y z"
+        (2, "a b c a b c"),     # "a b c" ×2
+        (3, "x y z"),
+        (4, "solo seg here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.segment, r.n_occurrences, r.n_docs)
+        for r in dedup.segment_topk(df, k=3).collect()
+    ]
+    # "a b c": 3 occurrences in 2 docs; "x y z": 2 in 2; then ties at 1
+    # occurrence break on segment ASC
+    assert got == [("a b c", 3, 2), ("x y z", 2, 2), ("solo seg here", 1, 1)]

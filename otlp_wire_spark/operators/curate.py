@@ -107,3 +107,142 @@ def curate(
         & (F.col("n_tokens") >= min_tokens)
     )
     return exact_dedup_rows(kept, text_col, id_col)
+
+
+# bounded cache generations for incremental_curate's internal persists —
+# retired on the next call (same pattern as dedup._LAST_PERSISTED_SHINGLES)
+_INCR_CACHES: list = []
+
+
+def curation_index(
+    curated: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """The two side-tables a later ``incremental_curate`` batch needs,
+    derived from the EXACT-curated corpus (the near-dup stage INPUT —
+    including docs a near-dup pass later drops; see incremental_curate's
+    tombstone note): ``(fingerprints, shingles)``. Persist both (parquet /
+    bucketed table) — they are the whole state of the corpus the
+    incremental path ever touches."""
+    from otlp_wire_spark.operators.dedup import shingle_table
+
+    fps = curated.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+    return fps, shingle_table(curated, id_col, text_col, n)
+
+
+def incremental_curate(
+    new_docs: DataFrame,
+    existing_fingerprints: DataFrame,
+    existing_shingles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    min_tokens: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    bucket_cap: int = 1000,
+    impl: str = "expr",
+    validate_ids: bool = True,
+) -> DataFrame:
+    """Admit a NEW batch of documents into an already-curated corpus
+    without re-curating the corpus — the only affordable shape when the
+    corpus is 100 TB and the batch is 1 TB. Returns the admitted new rows
+    (with score columns), leaving the existing corpus untouched.
+
+    The existing corpus is consumed ONLY through two narrow side-tables
+    (build them with ``curation_index`` at batch time and keep them as
+    parquet/bucketed tables):
+
+    - ``existing_fingerprints``: one ``fp`` column, md5 of every
+      exact-curated text;
+    - ``existing_shingles``: the ``(id, sh)`` shingle table of the same
+      docs. TOMBSTONE CONTRACT: both must cover the exact-curated set
+      BEFORE near-dup removal — a doc dropped as a near-dup stays in the
+      index, otherwise a new doc that is a near-dup of the dropped doc
+      (but not of its kept representative) would be admitted where a full
+      re-curation would reject it.
+
+    Batch-equivalence invariant (pinned by tests and the SQL oracle):
+    under append-only ids (every new id > every existing id; checked when
+    ``validate_ids``) and identical parameters, ``admitted == full-batch
+    pipeline over old ∪ new, restricted to new ids``. Steps: (1) curate()
+    the new batch (score-filter + exact dedup among new); (2) anti-join
+    md5(text) against existing fingerprints (new-vs-corpus exact dups);
+    (3) LSH over the UNION shingle table, candidates restricted to pairs
+    whose higher member is new, exact-Jaccard verify, drop those higher
+    members. The union table is persisted + eagerly materialized
+    (concurrent candidate/verify stages would race a cold cache); the
+    corpus text is NEVER re-read — per-batch cost is O(|new|) plus the
+    narrow index scans.
+    """
+    from pyspark import StorageLevel
+
+    from otlp_wire_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        shingle_table,
+    )
+
+    while _INCR_CACHES:
+        try:
+            _INCR_CACHES.pop().unpersist()
+        except Exception:  # noqa: BLE001 — session may be gone
+            pass
+
+    if validate_ids:
+        # contract check on the RAW batch (not its survivors — an exact-dup
+        # row with a stale id must still fail loudly): two narrow aggs,
+        # parquet min/max stats make both cheap on real tables
+        mx_old = existing_shingles.agg(F.max("id")).first()[0]
+        mn_new = new_docs.agg(F.min(id_col)).first()[0]
+        if mx_old is not None and mn_new is not None and mn_new <= mx_old:
+            raise ValueError(
+                f"incremental_curate: new ids must all exceed existing ids "
+                f"(append-only contract) — min(new)={mn_new} <= "
+                f"max(existing)={mx_old}. Remap the batch's ids."
+            )
+
+    # (1) intra-batch curation; persisted — it feeds the shingle table,
+    # the candidate restriction and the final anti-join (each is a
+    # separate action → lineage recompute otherwise)
+    fresh = (
+        curate(new_docs, id_col, text_col, langs, min_quality, min_tokens)
+        .withColumn("_fp", F.md5(F.col(text_col)))
+        .join(
+            existing_fingerprints.select(F.col("fp").alias("_fp")),
+            "_fp",
+            "left_anti",
+        )
+        .drop("_fp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _INCR_CACHES.append(fresh)
+
+    # (3) near-dup vs corpus AND within the batch, one LSH over the union
+    union_sh = (
+        existing_shingles.select("id", "sh")
+        .unionByName(shingle_table(fresh, id_col, text_col, n).select("id", "sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _INCR_CACHES.append(union_sh)
+    union_sh.count()  # eager: see near_dup_pairs race note
+
+    cand = minhash_lsh_candidates(
+        fresh, id_col, text_col, k, bands, n, bucket_cap, None, impl,
+        shingles=union_sh,
+    )
+    new_ids = fresh.select(F.col(id_col).alias("id_b"))
+    cand_new = cand.join(new_ids, "id_b", "left_semi")
+    sh = union_sh.where(F.size("sh") > 0)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cand_new.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    drop = (
+        joined.where((inter / union) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return fresh.join(drop, id_col, "left_anti")

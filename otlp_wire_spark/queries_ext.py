@@ -799,10 +799,11 @@ def _sql_sh(src: str) -> str:
 """
 
 
-def _sql_curation_pipeline() -> str:
-    toks_clean = _SQL_TOKS.replace("text", "clean_text")
-    return f"""
-WITH cbase AS (
+def _sql_curate_neardup_ctes() -> str:
+    """The shared curate → near-dup CTE chain (cbase … kept2) over ALL
+    documents — reused by the full pipeline oracle and by the incremental
+    oracle (whose spec is 'full batch restricted to new ids')."""
+    return f"""cbase AS (
   SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
 ), cstats AS (
   SELECT doc_id, text, len(toks) AS n_tokens,
@@ -844,7 +845,13 @@ verified AS (
 ), kept2 AS (
   SELECT doc_id, text FROM curated
   WHERE doc_id NOT IN (SELECT id_b FROM verified)
-), bench_sh AS ({_sql_sh("(SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0)")}),
+)"""
+
+
+def _sql_curation_pipeline() -> str:
+    toks_clean = _SQL_TOKS.replace("text", "clean_text")
+    return f"""
+WITH {_sql_curate_neardup_ctes()}, bench_sh AS ({_sql_sh("(SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0)")}),
 bgrams AS (
   SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM bench_sh)
 ), k2sh AS ({_sql_sh("kept2")}),
@@ -879,6 +886,61 @@ ORDER BY s.seq_id, o.doc_id
 
 
 SQL_CURATION_PIPELINE = _sql_curation_pipeline()
+
+
+# --------------------------------------------------------------------------
+# incremental curation: admit a new batch (doc_id >= 250) against the
+# already-curated corpus of doc_id < 250, touching the corpus only via its
+# (fingerprints, shingles) index. Oracle = the batch-equivalence spec:
+# full curate→near-dup chain over ALL docs, restricted to the new ids.
+# --------------------------------------------------------------------------
+
+_INCR_SPLIT_ID = 250
+
+
+def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from otlp_wire_spark.operators.curate import (
+        curate,
+        curation_index,
+        incremental_curate,
+    )
+    from otlp_wire_spark.operators.textstats import quantize4
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") < _INCR_SPLIT_ID)
+    new = docs.where(F.col("doc_id") >= _INCR_SPLIT_ID)
+    # batch-time artifacts of the existing corpus: the exact-curated set
+    # (near-dup stage INPUT — tombstone contract) persisted once, because
+    # fingerprints and shingles both read it
+    _retire_pipe_caches()
+    existing = curate(old, langs=("en",), min_quality=0.3, min_tokens=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _PIPE_CACHES.append(existing)
+    fps, ex_sh = curation_index(existing)
+    out = incremental_curate(
+        new, fps, ex_sh,
+        langs=("en",), min_quality=0.3, min_tokens=3,
+        k=16, bands=4, n=3, threshold=0.5, bucket_cap=10_000_000,
+    )
+    return out.select(
+        "doc_id",
+        "pred_lang",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        quantize4(F.col("quality")).alias("quality_q4"),
+    ).orderBy("doc_id")
+
+
+SQL_INCREMENTAL_CURATE = f"""
+WITH {_sql_curate_neardup_ctes()}
+SELECT s.doc_id, s.pred_lang, s.n_tokens::INT AS n_tokens,
+       floor(s.quality * 10000.0)::BIGINT AS quality_q4
+FROM cscored s JOIN kept2 USING (doc_id)
+WHERE s.doc_id >= {_INCR_SPLIT_ID}
+ORDER BY s.doc_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1155,6 +1217,7 @@ QUERIES_EXT = {
     "corpus_stats": q_corpus_stats,
     "curate_corpus": q_curate_corpus,
     "curation_pipeline": q_curation_pipeline,
+    "incremental_curate": q_incremental_curate,
     "decontaminate": q_decontaminate,
     "dedup_rows": q_dedup_rows,
     "pack_sequences": q_pack_sequences,
@@ -1184,6 +1247,7 @@ ORACLES_EXT = {
     "corpus_stats": SQL_CORPUS_STATS,
     "curate_corpus": SQL_CURATE_CORPUS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
+    "incremental_curate": SQL_INCREMENTAL_CURATE,
     "decontaminate": SQL_DECONTAMINATE,
     "dedup_rows": SQL_DEDUP_ROWS,
     "pack_sequences": SQL_PACK_SEQUENCES,

@@ -1,0 +1,122 @@
+"""incremental_curate: admit a new batch against an existing curated
+corpus using only its (fingerprints, shingles) index — pinned to the
+batch-equivalence invariant: admitted == full-batch pipeline over
+old ∪ new restricted to new ids (append-only id contract)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from otlp_wire_spark.operators import dedup
+from otlp_wire_spark.operators.curate import (
+    curate,
+    curation_index,
+    incremental_curate,
+)
+
+_W = [
+    "the", "quick", "brown", "fox", "jumps", "over", "and", "lazy",
+    "dog", "runs", "to", "river", "bank", "under", "bright", "moon",
+]
+
+
+def _sentence(seed: int, n: int = 12) -> str:
+    return " ".join(_W[(seed * 5 + j * 3) % len(_W)] for j in range(n))
+
+
+def _corpus():
+    """Old ids 0..39, new ids 100..119 — planted: exact dup of old text,
+    near-dups across the boundary (incl. of an old doc that old-old dedup
+    drops — the tombstone case), intra-new near-dups and exact dups,
+    fresh docs."""
+    old = [(i, _sentence(i)) for i in range(36)]
+    old += [
+        (36, _sentence(3)),                       # exact dup of 3 (dropped old)
+        (37, _sentence(5) + " extra tail"),       # near-dup of 5
+        (38, _sentence(7)[:-1] + "x shifted end"),
+        (39, _sentence(11) + " more words here"),  # near-dup of 11
+    ]
+    # hand-written fresh texts: _sentence collides for seeds ≡ mod 16, so
+    # fresh docs must NOT come from it
+    f1 = "the silver owl glides to the old tower and waits for dawn light"
+    f2 = "a warm wind moves over the wide field and bends the tall grass"
+    f3 = (
+        "the small boat drifts down the calm river past stone bridges and "
+        "sleeping houses toward the open sea"
+    )
+    new = [
+        (100, _sentence(2)),                       # exact dup of old 2
+        (101, _sentence(5) + " extra tails"),      # near old 5 AND old 37
+        (102, _sentence(11) + " more words here"),  # exact dup of old 39
+        (103, f1),                                 # fresh
+        (104, f2),                                 # fresh
+        (105, f1 + " tiny change"),                # near-dup of new 103
+        (106, f1),                                 # exact dup of new 103
+        (107, "zzz qqq xxx"),                      # non-en → filtered
+        (108, f3),                                 # fresh, longer
+        (109, f3 + " appended"),                   # near-dup of new 108
+    ]
+    return old, new
+
+
+def _full_batch_admitted(spark, docs):
+    kept = curate(docs)
+    pairs = dedup.near_dup_pairs(kept, bucket_cap=10_000_000)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return kept.join(drop, "doc_id", "left_anti")
+
+
+def test_incremental_equals_batch_restricted_to_new(spark):
+    old_rows, new_rows = _corpus()
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    fps, sh = curation_index(curate(old))
+    admitted = incremental_curate(new, fps, sh, bucket_cap=10_000_000)
+    got = {r.doc_id for r in admitted.select("doc_id").collect()}
+
+    both = spark.createDataFrame(old_rows + new_rows, schema)
+    want = {
+        r.doc_id
+        for r in _full_batch_admitted(spark, both).select("doc_id").collect()
+        if r.doc_id >= 100
+    }
+    assert got == want
+    # the fixture must actually exercise each drop class
+    assert 100 not in got            # exact dup of old
+    assert 102 not in got            # exact dup of a near-dup-DROPPED old doc
+    assert 106 not in got            # exact dup within new
+    assert 107 not in got            # filtered (non-en)
+    assert {103, 104, 108}.issubset(got)
+    dropped_near = {101, 105, 109} - got
+    assert dropped_near, "fixture must drop at least one near-dup"
+
+
+def test_incremental_output_rows_match_batch_rows(spark):
+    """Not just the id set: full rows (text + score columns) agree."""
+    old_rows, new_rows = _corpus()
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    fps, sh = curation_index(curate(old))
+    admitted = incremental_curate(new, fps, sh, bucket_cap=10_000_000)
+    both = spark.createDataFrame(old_rows + new_rows, schema)
+    batch = _full_batch_admitted(spark, both).where(F.col("doc_id") >= 100)
+    cols = sorted(admitted.columns)
+    assert cols == sorted(batch.columns)
+    a = sorted(map(tuple, admitted.select(*cols).collect()))
+    b = sorted(map(tuple, batch.select(*cols).collect()))
+    assert a == b
+
+
+def test_incremental_rejects_overlapping_ids(spark):
+    old_rows, new_rows = _corpus()
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(old_rows, schema)
+    fps, sh = curation_index(curate(old))
+    overlapping = spark.createDataFrame(
+        [(5, "the unique stale batch row and its words")], schema
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        incremental_curate(overlapping, fps, sh)

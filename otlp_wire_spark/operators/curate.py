@@ -145,7 +145,8 @@ def incremental_curate(
     bucket_cap: int = 1000,
     impl: str = "expr",
     validate_ids: bool = True,
-) -> DataFrame:
+    with_index_additions: bool = False,
+) -> "DataFrame | tuple[DataFrame, DataFrame, DataFrame]":
     """Admit a NEW batch of documents into an already-curated corpus
     without re-curating the corpus — the only affordable shape when the
     corpus is 100 TB and the batch is 1 TB. Returns the admitted new rows
@@ -245,4 +246,13 @@ def incremental_curate(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return fresh.join(drop, id_col, "left_anti")
+    admitted = fresh.join(drop, id_col, "left_anti")
+    if with_index_additions:
+        # what the NEXT batch's index must gain: the fp/shingle rows of
+        # this batch's exact-curated-and-not-already-indexed set (`fresh`,
+        # PRE near-dup — the tombstone contract). Consume these BEFORE the
+        # next incremental_curate call retires this call's caches.
+        add_fps = fresh.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+        add_sh = shingle_table(fresh, id_col, text_col, n)
+        return admitted, add_fps, add_sh
+    return admitted

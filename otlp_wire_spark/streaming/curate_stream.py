@@ -1,0 +1,127 @@
+"""Streaming incremental curation — documents arrive as a stream and are
+admitted into the curated corpus micro-batch by micro-batch, against an
+on-disk curation index that grows with each epoch.
+
+Shape (the 100 TB ingest path): the corpus itself is never re-read. Each
+micro-batch runs ``incremental_curate`` against the index (md5
+fingerprints + shingle table of everything exact-curated so far), writes
+the admitted rows to a per-epoch sink directory, and appends the batch's
+own index rows as a new epoch partition. All per-epoch writes use
+``overwrite`` into an ``epoch=<id>`` subdirectory, so a foreachBatch
+retry of the same epoch is idempotent — the streaming analog of the
+pipeline's per-stage manifest resume (pipeline.py) and the count-
+conservation discipline of streaming_route.
+
+Ordering contract: micro-batches must arrive with ascending doc ids
+(append-only, same contract as batch ``incremental_curate``; the file
+source's timestamp ordering provides this for append-only ingest dirs).
+``validate_ids=True`` makes a violation a loud per-batch error.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+_FPS = "fingerprints"
+_SH = "shingles"
+
+
+def seed_curation_index(
+    curated: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> None:
+    """Write the batch-built index of an EXISTING corpus as epoch 'seed'
+    partitions — the bootstrap before streaming ingest starts. ``curated``
+    is the exact-curated set (near-dup stage INPUT; tombstone contract,
+    see incremental_curate)."""
+    from otlp_wire_spark.operators.curate import curation_index
+
+    fps, sh = curation_index(curated, id_col, text_col, n)
+    fps.write.mode("overwrite").parquet(os.path.join(index_dir, _FPS, "epoch=seed"))
+    sh.write.mode("overwrite").parquet(os.path.join(index_dir, _SH, "epoch=seed"))
+
+
+def _read_index(
+    spark: SparkSession, index_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """All epoch partitions of the index; typed empties when none exist yet
+    (first batch of a fresh corpus)."""
+    fps_dir = os.path.join(index_dir, _FPS)
+    sh_dir = os.path.join(index_dir, _SH)
+    if os.path.isdir(fps_dir) and any(os.scandir(fps_dir)):
+        fps = spark.read.parquet(os.path.join(fps_dir, "epoch=*"))
+    else:
+        fps = spark.createDataFrame([], "fp string")
+    if os.path.isdir(sh_dir) and any(os.scandir(sh_dir)):
+        sh = spark.read.parquet(os.path.join(sh_dir, "epoch=*"))
+    else:
+        sh = spark.createDataFrame([], "id long, sh array<string>")
+    return fps, sh
+
+
+def streaming_incremental_curate(
+    docs_stream: DataFrame,
+    index_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    min_tokens: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    bucket_cap: int = 1000,
+    validate_ids: bool = True,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Admit a document stream into the curated corpus. Per micro-batch:
+    read index → incremental_curate → write admitted rows to
+    ``admitted_dir/epoch=<id>`` → append the batch's index rows as
+    ``index_dir/{fingerprints,shingles}/epoch=<id>``. Epoch-keyed
+    overwrites make retries idempotent; the checkpoint makes the whole
+    ingest resumable."""
+    from otlp_wire_spark.operators.curate import incremental_curate
+
+    def _admit(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fps, sh = _read_index(spark, index_dir)
+        admitted, add_fps, add_sh = incremental_curate(
+            batch_df, fps, sh, id_col, text_col,
+            langs, min_quality, min_tokens,
+            k, bands, n, threshold, bucket_cap,
+            validate_ids=validate_ids, with_index_additions=True,
+        )
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(admitted_dir, f"epoch={epoch_id}")
+        )
+        # index additions AFTER the admitted write: a retry that died
+        # between the two writes re-runs the whole epoch and overwrites
+        # both — never a half-indexed epoch feeding the next batch,
+        # because the next batch only starts after this epoch commits
+        add_fps.write.mode("overwrite").parquet(
+            os.path.join(index_dir, _FPS, f"epoch={epoch_id}")
+        )
+        add_sh.write.mode("overwrite").parquet(
+            os.path.join(index_dir, _SH, f"epoch={epoch_id}")
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,91 @@
+"""Streaming incremental curation: per-micro-batch admission against the
+growing on-disk index, pinned to the same batch-equivalence spec as
+incremental_curate — and idempotent on re-run from the checkpoint."""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import pyspark.sql.functions as F
+
+from otlp_wire_spark.operators.curate import curate
+from otlp_wire_spark.streaming.curate_stream import (
+    seed_curation_index,
+    streaming_incremental_curate,
+)
+from test_incremental import _corpus, _full_batch_admitted, _sentence
+
+_SCHEMA = "doc_id long, text string"
+
+
+def _batch2_rows(new_rows):
+    """Second micro-batch (ids 200+): planted dups vs the seed corpus AND
+    vs batch 1 — the cross-epoch index-growth cases."""
+    f1 = new_rows[3][1]   # batch-1 fresh text (id 103)
+    f3 = new_rows[8][1]   # batch-1 fresh long text (id 108)
+    return [
+        (200, f1),                                  # exact dup of b1 admitted
+        (201, f3 + " appended extra words"),        # near-dup of b1 doc
+        (202, _sentence(9)),                        # exact dup of seed corpus
+        (203, "the green light blinks over a far hill and the night is long"),
+        (204, "a quiet rain falls on the tin roof and the fire burns low"),
+    ]
+
+
+def test_streaming_admission_equals_batch_and_resumes(spark, tmp_path_factory):
+    old_rows, new_rows = _corpus()
+    b2 = _batch2_rows(new_rows)
+    src = str(tmp_path_factory.mktemp("cur_src"))
+    index_dir = str(tmp_path_factory.mktemp("cur_idx"))
+    admitted_dir = str(tmp_path_factory.mktemp("cur_adm"))
+    ckpt = str(tmp_path_factory.mktemp("cur_ckpt"))
+
+    old = spark.createDataFrame(old_rows, _SCHEMA)
+    seed_curation_index(curate(old), index_dir)
+
+    # two ingest files with ascending ids; mtime gap pins file-source order
+    spark.createDataFrame(new_rows, _SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.2)
+    spark.createDataFrame(b2, _SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_incremental_curate(
+        stream, index_dir, admitted_dir, ckpt, bucket_cap=10_000_000
+    )
+    q.awaitTermination(180)
+
+    epochs = glob.glob(os.path.join(admitted_dir, "epoch=*"))
+    assert len(epochs) >= 2, "expected one epoch per ingest file"
+    admitted = spark.read.parquet(os.path.join(admitted_dir, "epoch=*"))
+    got = {r.doc_id for r in admitted.select("doc_id").collect()}
+
+    both = spark.createDataFrame(old_rows + new_rows + b2, _SCHEMA)
+    want = {
+        r.doc_id
+        for r in _full_batch_admitted(spark, both).select("doc_id").collect()
+        if r.doc_id >= 100
+    }
+    assert got == want
+    # cross-epoch classes actually exercised
+    assert 200 not in got      # exact dup of a batch-1 admission
+    assert 201 not in got      # near-dup of a batch-1 doc
+    assert 202 not in got      # exact dup of the seed corpus
+    assert {203, 204}.issubset(got)
+
+    # resume: same checkpoint, no new files → no new epochs, same output
+    q2 = streaming_incremental_curate(
+        stream, index_dir, admitted_dir, ckpt, bucket_cap=10_000_000
+    )
+    q2.awaitTermination(120)
+    admitted2 = spark.read.parquet(os.path.join(admitted_dir, "epoch=*"))
+    got2 = {r.doc_id for r in admitted2.select("doc_id").collect()}
+    assert got2 == got
+    assert len(glob.glob(os.path.join(admitted_dir, "epoch=*"))) == len(epochs)

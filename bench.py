@@ -181,6 +181,9 @@ def main() -> None:
         # composed end-to-end LLM curation: curate → near-dup removal →
         # decontaminate → redact → pack (the 100 TB training-data shape)
         "curation_pipeline",
+        # append-only batch admission against the corpus index — the
+        # per-batch cost a 100 TB corpus pays instead of re-curating
+        "incremental_curate",
     ]
     all_queries = {**QUERIES, **QUERIES_EXT}
     # median of q_trials per query (first run warms plan/JIT, not timed):

@@ -256,3 +256,64 @@ def incremental_curate(
         add_sh = shingle_table(fresh, id_col, text_col, n)
         return admitted, add_fps, add_sh
     return admitted
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """The audit companion to ``contaminated_ids``: WHICH benchmark doc a
+    corpus doc collides with and how many distinct word n-grams they
+    share — the evidence row a curation run attaches when it drops a
+    document for contamination. Output: (doc_id, bench_id, n_shared).
+
+    Scale shape: both sides explode to (gram, id) rows; the benchmark side
+    is tiny by definition and broadcast, so the corpus side is never
+    shuffled — the per-pair distinct-gram count is a hash aggregate keyed
+    by (doc_id, bench_id) with map-side partials."""
+    from otlp_wire_spark.operators.dedup import _shingled
+
+    c = _shingled(corpus, id_col, text_col, n).select(
+        F.col("id").alias("doc_id"), F.explode("sh").alias("g")
+    )
+    b = _shingled(benchmark, id_col, text_col, n).select(
+        F.col("id").alias("bench_id"), F.explode("sh").alias("g")
+    )
+    return (
+        c.join(F.broadcast(b), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-stratum sampling for training-mix construction:
+    within each stratum keep the ``quota`` rows with the smallest
+    (fnv64a(text), id) — a content-hash order, so the sample is a pure
+    function of the data (stable across runs, partitionings and retries;
+    the two-job-consistency rule) yet uncorrelated with ingestion order.
+
+    Scale shape: one exchange on the stratum key; the per-stratum
+    row_number window sort-spills on skewed strata rather than OOMing
+    (same argument as the LSH bucket cap)."""
+    from pyspark.sql import Window
+
+    from otlp_wire_spark.functions.fnv import fnv64a_expr
+
+    w = Window.partitionBy(strata_col).orderBy(
+        fnv64a_expr(F.coalesce(F.col(text_col), F.lit(""))), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= quota)
+        .drop("_rn")
+    )

@@ -944,6 +944,86 @@ ORDER BY s.doc_id
 
 
 # --------------------------------------------------------------------------
+# contamination report: WHICH benchmark doc a corpus doc collides with and
+# how many distinct 3-grams they share — the audit row behind decontaminate
+# --------------------------------------------------------------------------
+
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_wire_spark.operators.curate import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 101 == 0)
+    corpus = docs.where(F.col("doc_id") % 101 != 0)
+    return contamination_report(corpus, benchmark, "doc_id", "text", n=3).orderBy(
+        "doc_id", "bench_id"
+    )
+
+
+SQL_CONTAMINATION_REPORT = f"""
+WITH csh AS ({_sql_sh("(SELECT doc_id, text FROM documents WHERE doc_id % 101 <> 0)")}),
+bsh AS ({_sql_sh("(SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0)")}),
+ce AS (SELECT doc_id, unnest(s) AS g FROM csh),
+be AS (SELECT doc_id AS bench_id, unnest(s) AS g FROM bsh)
+SELECT ce.doc_id, be.bench_id, count(DISTINCT ce.g)::BIGINT AS n_shared
+FROM ce JOIN be ON ce.g = be.g
+GROUP BY ce.doc_id, be.bench_id
+ORDER BY ce.doc_id, be.bench_id
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic stratified sampling (training-mix construction): per-lang
+# quota by content-hash order — a pure function of the data
+# --------------------------------------------------------------------------
+
+_STRAT_QUOTA = 25
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_wire_spark.operators.curate import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    strat = docs.select(
+        "doc_id", "text", textstats.lang_id_col(F.col("text")).alias("stratum")
+    )
+    return (
+        stratified_sample(strat, "stratum", quota=_STRAT_QUOTA)
+        .select("doc_id", "stratum")
+        .orderBy("stratum", "doc_id")
+    )
+
+
+_FNV_TEXT_SIGNED = (
+    "CASE WHEN h >= 9223372036854775808::HUGEINT "
+    "THEN (h - 18446744073709551616::HUGEINT)::BIGINT ELSE h::BIGINT END"
+)
+SQL_STRATIFIED_SAMPLE = f"""
+WITH s AS (
+  SELECT doc_id,
+    {_LANG_SCORES["en"]} AS s_en, {_LANG_SCORES["de"]} AS s_de,
+    {_LANG_SCORES["fr"]} AS s_fr, {_LANG_SCORES["es"]} AS s_es,
+    {FNV_SQL.format(col="coalesce(text, '')")} AS h
+  FROM documents
+), strat AS (
+  SELECT doc_id, {_FNV_TEXT_SIGNED} AS hkey,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+         ELSE 'unknown' END AS stratum
+  FROM s
+), ranked AS (
+  SELECT doc_id, stratum,
+         row_number() OVER (PARTITION BY stratum ORDER BY hkey, doc_id) AS rn
+  FROM strat
+)
+SELECT doc_id, stratum FROM ranked WHERE rn <= {_STRAT_QUOTA}
+ORDER BY stratum, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash (16-bit, FNV token hashes)
 # --------------------------------------------------------------------------
 
@@ -1218,6 +1298,8 @@ QUERIES_EXT = {
     "curate_corpus": q_curate_corpus,
     "curation_pipeline": q_curation_pipeline,
     "incremental_curate": q_incremental_curate,
+    "contamination_report": q_contamination_report,
+    "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
     "dedup_rows": q_dedup_rows,
     "pack_sequences": q_pack_sequences,
@@ -1248,6 +1330,8 @@ ORACLES_EXT = {
     "curate_corpus": SQL_CURATE_CORPUS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "incremental_curate": SQL_INCREMENTAL_CURATE,
+    "contamination_report": SQL_CONTAMINATION_REPORT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "decontaminate": SQL_DECONTAMINATE,
     "dedup_rows": SQL_DEDUP_ROWS,
     "pack_sequences": SQL_PACK_SEQUENCES,

@@ -530,3 +530,44 @@ def test_segment_topk_counts_and_tiebreak(spark):
     # "a b c": 3 occurrences in 2 docs; "x y z": 2 in 2; then ties at 1
     # occurrence break on segment ASC
     assert got == [("a b c", 3, 2), ("x y z", 2, 2), ("solo seg here", 1, 1)]
+
+
+def test_contamination_report_planted_overlap(spark):
+    from otlp_wire_spark.operators.curate import contamination_report
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "zeta alpha beta gamma delta")], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.bench_id): r.n_shared
+        for r in contamination_report(corpus, bench).collect()
+    }
+    # shared distinct 3-grams: "alpha beta gamma", "beta gamma delta"
+    assert got == {(1, 900): 2}
+
+
+def test_stratified_sample_deterministic_and_quota(spark):
+    from otlp_wire_spark.operators.curate import stratified_sample
+
+    rows = [(i, f"w{i} x{i % 7} y{i % 3}", "ab"[i % 2]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, stratum string")
+    a = sorted(
+        (r.stratum, r.doc_id)
+        for r in stratified_sample(df.repartition(3), "stratum", 10).collect()
+    )
+    b = sorted(
+        (r.stratum, r.doc_id)
+        for r in stratified_sample(df.repartition(11), "stratum", 10).collect()
+    )
+    assert a == b, "sample must be a pure function of the data"
+    from collections import Counter
+
+    per = Counter(s for s, _ in a)
+    assert per == {"a": 10, "b": 10}

@@ -813,3 +813,95 @@ def embedding_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over verified duplicate pairs → ``(id, rep)``
+    with ``rep`` the component's minimum id — the CLUSTER dedup semantics
+    (RefinedWeb-style): transitive duplicates collapse to one
+    representative even when the endpoints' direct similarity is below
+    threshold. Contrast with the pipeline's pair convention (drop ``id_b``
+    of each pair), which keeps an endpoint that only links through a
+    middleman; both are offered, the docstring of
+    ``near_dup_cluster_reps`` states the difference.
+
+    Distributed min-label propagation: per round, every node takes the min
+    of its own label and its neighbors' labels (one join + one min-agg,
+    both map-side combinable); rounds = graph diameter, which for near-dup
+    clusters is small in practice (boilerplate cliques have diameter 1-2;
+    adversarial long chains would want the large-star/small-star variant,
+    noted here, not needed for this workload). Each round's labels are
+    ``localCheckpoint``-ed: iterative plans MUST truncate lineage, not
+    just cache — persist keeps the nested logical plan, which doubles per
+    round (union+join) until plan stringification alone OOMs the driver
+    (reproduced at a 12-edge chain). localCheckpoint materializes AND
+    makes the round's result a leaf; on a fault-tolerant cluster run,
+    swap for ``checkpoint()`` with a reliable checkpoint dir (executor
+    loss discards localCheckpoint blocks). Raises after ``max_iter``
+    rounds rather than silently returning unconverged labels.
+    """
+    from pyspark import StorageLevel
+
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("rep", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            prop = (
+                edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), "rep")
+            )
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("id")
+                .agg(F.min("rep").alias("rep"))
+                .localCheckpoint()
+            )
+            changed = (
+                labels.withColumnRenamed("rep", "old_rep")
+                .join(new_labels, "id")
+                .where(F.col("rep") < F.col("old_rep"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{max_iter} rounds — graph diameter exceeds the cap; raise "
+            "max_iter or switch to a large-star/small-star variant."
+        )
+    finally:
+        edges.unpersist()
+
+
+def near_dup_cluster_reps(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **near_dup_kwargs,
+) -> DataFrame:
+    """Keep-rows near-dup removal under CLUSTER semantics: connected
+    components of the verified pair graph, minimum id survives per
+    component, un-paired docs survive untouched. More aggressive than the
+    pair convention on chains (A~B, B~C, A≁C: cluster keeps only A; the
+    pair rule also drops B and C here — they differ when a node is id_b
+    of no pair but transitively linked, e.g. pairs (1,3),(2,3): pair rule
+    keeps 1 AND 2, cluster rule keeps only 1)."""
+    pairs = near_dup_pairs(df, id_col, text_col, **near_dup_kwargs)
+    clusters = dedup_clusters(pairs)
+    losers = clusters.where(F.col("id") != F.col("rep")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

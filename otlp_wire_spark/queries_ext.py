@@ -944,6 +944,55 @@ ORDER BY s.doc_id
 
 
 # --------------------------------------------------------------------------
+# near-dup CLUSTERS: connected components over verified pairs (min-id
+# representative per component) — the transitive dedup semantics; oracle is
+# a recursive min-label CTE over the same verified-pair chain
+# --------------------------------------------------------------------------
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(
+        docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5,
+        bucket_cap=10_000_000, persist=True,
+    )
+    return (
+        dedup.dedup_clusters(pairs)
+        .select(F.col("id").alias("doc_id"), F.col("rep").alias("cluster_rep"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_NEAR_DUP_CLUSTERS = rf"""
+WITH RECURSIVE {_SQL_LSH_CTES},
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(t)-1),
+                                 i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+  WHERE len(t) >= 3
+),
+vpairs AS (
+  SELECT c.id_a, c.id_b
+  FROM lsh_cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+  WHERE {_SQL_JAC} >= 0.5
+),
+vedges AS (
+  SELECT id_a AS a, id_b AS b FROM vpairs
+  UNION
+  SELECT id_b, id_a FROM vpairs
+),
+reach(id, rep) AS (
+  SELECT a, a FROM vedges
+  UNION
+  SELECT e.a, r.rep FROM vedges e JOIN reach r ON e.b = r.id
+)
+SELECT id AS doc_id, min(rep)::BIGINT AS cluster_rep
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # contamination report: WHICH benchmark doc a corpus doc collides with and
 # how many distinct 3-grams they share — the audit row behind decontaminate
 # --------------------------------------------------------------------------
@@ -1299,6 +1348,7 @@ QUERIES_EXT = {
     "curation_pipeline": q_curation_pipeline,
     "incremental_curate": q_incremental_curate,
     "contamination_report": q_contamination_report,
+    "near_dup_clusters": q_near_dup_clusters,
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
     "dedup_rows": q_dedup_rows,
@@ -1331,6 +1381,7 @@ ORACLES_EXT = {
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "incremental_curate": SQL_INCREMENTAL_CURATE,
     "contamination_report": SQL_CONTAMINATION_REPORT,
+    "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "decontaminate": SQL_DECONTAMINATE,
     "dedup_rows": SQL_DEDUP_ROWS,

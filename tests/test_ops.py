@@ -571,3 +571,33 @@ def test_stratified_sample_deterministic_and_quota(spark):
 
     per = Counter(s for s, _ in a)
     assert per == {"a": 10, "b": 10}
+
+
+def test_dedup_clusters_chain_and_clique(spark):
+    # components: {1,2,3,4} (chain), {10,11,12} (clique), {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.rep for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    n = 12  # diameter 12 chain — several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r.id: r.rep for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_near_dup_cluster_reps_vs_pair_rule(spark):
+    """Star shape (1,3),(2,3): pair rule keeps 1 AND 2; cluster rule keeps
+    only 1 — built directly on a pairs fixture via dedup_clusters."""
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
+    clusters = {r.id: r.rep for r in dedup.dedup_clusters(pairs).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1}
+    pair_rule_losers = {3}
+    cluster_rule_losers = {i for i, r in clusters.items() if i != r}
+    assert cluster_rule_losers == {2, 3} != pair_rule_losers

@@ -317,3 +317,46 @@ def stratified_sample(
         .where(F.col("_rn") <= quota)
         .drop("_rn")
     )
+
+
+def sample_by_token_budget(
+    df: DataFrame,
+    strata_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mix sampling by TOKEN budget rather than document count:
+    within each stratum, walk documents in (fnv64a(text), id) order and
+    keep each doc whose cumulative token count BEFORE it is still under
+    ``budget`` — the greedy prefix a mixture spec ("20B tokens of lang X")
+    actually wants. The last kept doc may overshoot the budget; a packer
+    (pack.pack_sequences) downstream trims to the exact token boundary.
+
+    Deterministic for the same reason as stratified_sample (content-hash
+    order = pure function of the data), and the same scale shape: one
+    exchange on the stratum, a sort-spilling running-sum window (explicit
+    ROWS frame — the RANGE default would peer-group ties), no second pass.
+    Emits ``n_tokens`` and ``tok_before`` so callers can trim or account.
+    """
+    from pyspark.sql import Window
+
+    from otlp_wire_spark.functions.fnv import fnv64a_expr
+    from otlp_wire_spark.operators.textstats import tokens_norm_col
+
+    n_toks = F.size(tokens_norm_col(F.col(text_col))).cast("long")
+    staged = df.withColumn("_nt", n_toks)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(
+            fnv64a_expr(F.coalesce(F.col(text_col), F.lit(""))), F.col(id_col)
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        staged.withColumn(
+            "tok_before", F.coalesce(F.sum("_nt").over(w), F.lit(0))
+        )
+        .where(F.col("tok_before") < budget)
+        .withColumnRenamed("_nt", "n_tokens")
+    )

@@ -1042,6 +1042,23 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_BUDGET = 400
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_wire_spark.operators.curate import sample_by_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    strat = docs.select(
+        "doc_id", "text", textstats.lang_id_col(F.col("text")).alias("stratum")
+    )
+    return (
+        sample_by_token_budget(strat, "stratum", budget=_TOKEN_BUDGET)
+        .select("doc_id", "stratum", "n_tokens", "tok_before")
+        .orderBy("stratum", "doc_id")
+    )
+
+
 _FNV_TEXT_SIGNED = (
     "CASE WHEN h >= 9223372036854775808::HUGEINT "
     "THEN (h - 18446744073709551616::HUGEINT)::BIGINT ELSE h::BIGINT END"
@@ -1068,6 +1085,34 @@ WITH s AS (
   FROM strat
 )
 SELECT doc_id, stratum FROM ranked WHERE rn <= {_STRAT_QUOTA}
+ORDER BY stratum, doc_id
+"""
+
+SQL_TOKEN_BUDGET_SAMPLE = f"""
+WITH s AS (
+  SELECT doc_id,
+    {_LANG_SCORES["en"]} AS s_en, {_LANG_SCORES["de"]} AS s_de,
+    {_LANG_SCORES["fr"]} AS s_fr, {_LANG_SCORES["es"]} AS s_es,
+    {FNV_SQL.format(col="coalesce(text, '')")} AS h,
+    len({_SQL_TOKS}) AS n_tokens
+  FROM documents
+), strat AS (
+  SELECT doc_id, n_tokens, {_FNV_TEXT_SIGNED} AS hkey,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+         ELSE 'unknown' END AS stratum
+  FROM s
+), cum AS (
+  SELECT doc_id, stratum, n_tokens,
+    coalesce(sum(n_tokens) OVER (PARTITION BY stratum ORDER BY hkey, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_before
+  FROM strat
+)
+SELECT doc_id, stratum, n_tokens::BIGINT AS n_tokens, tok_before
+FROM cum WHERE tok_before < {_TOKEN_BUDGET}
 ORDER BY stratum, doc_id
 """
 
@@ -1350,6 +1395,7 @@ QUERIES_EXT = {
     "contamination_report": q_contamination_report,
     "near_dup_clusters": q_near_dup_clusters,
     "stratified_sample": q_stratified_sample,
+    "token_budget_sample": q_token_budget_sample,
     "decontaminate": q_decontaminate,
     "dedup_rows": q_dedup_rows,
     "pack_sequences": q_pack_sequences,
@@ -1383,6 +1429,7 @@ ORACLES_EXT = {
     "contamination_report": SQL_CONTAMINATION_REPORT,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "decontaminate": SQL_DECONTAMINATE,
     "dedup_rows": SQL_DEDUP_ROWS,
     "pack_sequences": SQL_PACK_SEQUENCES,

@@ -601,3 +601,27 @@ def test_near_dup_cluster_reps_vs_pair_rule(spark):
     pair_rule_losers = {3}
     cluster_rule_losers = {i for i, r in clusters.items() if i != r}
     assert cluster_rule_losers == {2, 3} != pair_rule_losers
+
+
+def test_token_budget_sample_greedy_prefix(spark):
+    from otlp_wire_spark.operators.curate import sample_by_token_budget
+    from otlp_wire_spark.functions.fnv import fnv64a
+    import numpy as np
+
+    rows = [(i, " ".join(f"t{i}w{j}" for j in range(5)), "s") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, stratum string")
+    out = sorted(
+        ((r.doc_id, r.n_tokens, r.tok_before)
+         for r in sample_by_token_budget(df, "stratum", 23).collect()),
+        key=lambda x: x[2],
+    )
+    # sequential reference: hash order, greedy prefix under budget 23
+    order = sorted(rows, key=lambda r: (np.uint64(fnv64a(r[1].encode())).astype(np.int64), r[0]))
+    want, cum = [], 0
+    for did, text, _ in order:
+        if cum < 23:
+            want.append((did, 5, cum))
+        cum += 5
+    assert out == want
+    # 5 docs kept: tok_before 0,5,10,15,20 (< 23); 25 excluded
+    assert len(out) == 5

@@ -174,6 +174,7 @@ def main() -> None:
         "topk_users",
         # training-data operator suite (documents/embeddings tables)
         "near_dup_pairs",
+        "near_dup_clusters",
         "segment_dedup",
         "simhash",
         "token_stats",

@@ -203,3 +203,20 @@ def test_near_dup_persist_cache_bounded(spark):
     assert len(dedup._LAST_PERSISTED_SHINGLES) == 1  # one generation kept
     spark.catalog.clearCache()
     dedup._LAST_PERSISTED_SHINGLES.clear()
+
+
+def test_segment_dedup_hot_boilerplate_segment(spark):
+    """3k docs sharing one boilerplate segment: the first-occurrence window
+    gets one 3k-row group (sort-spills, never an agg buffer) and exactly
+    one instance survives — the cookie-banner shape at corpus scale."""
+    from otlp_wire_spark.operators.dedup import segment_dedup
+
+    rows = [(i, f"shared banner text unique{i} tail{i} here{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(13)
+    out = segment_dedup(df, seg_tokens=3).collect()
+    assert len(out) == 3000
+    kept_banner = [r for r in out if r.clean_text.startswith("shared banner text")]
+    assert len(kept_banner) == 1 and kept_banner[0].doc_id == 0
+    # every doc keeps its unique second segment
+    assert all(r.n_kept >= 1 for r in out)
+    assert sum(r.n_dropped for r in out) == 2999

@@ -830,12 +830,15 @@ def dedup_clusters(
     middleman; both are offered, the docstring of
     ``near_dup_cluster_reps`` states the difference.
 
-    Distributed min-label propagation: per round, every node takes the min
-    of its own label and its neighbors' labels (one join + one min-agg,
-    both map-side combinable); rounds = graph diameter, which for near-dup
-    clusters is small in practice (boilerplate cliques have diameter 1-2;
-    adversarial long chains would want the large-star/small-star variant,
-    noted here, not needed for this workload). Each round's labels are
+    Distributed min-label propagation WITH pointer jumping: per round,
+    every node takes the min of its own label and its neighbors' labels
+    (one join + one min-agg, both map-side combinable), then shortcuts
+    ``rep[v] ← rep[rep[v]]`` (one self-join — reps are node ids, and a
+    label a node has heard of is always inside its own component, so the
+    shortcut stays correct and labels stay monotone decreasing). Plain
+    propagation needs diameter rounds — an adversarial chain of n docs
+    takes n rounds; the jump makes round count O(log n) (pinned by a
+    round-count test on a long chain). Each round's labels are
     ``localCheckpoint``-ed: iterative plans MUST truncate lineage, not
     just cache — persist keeps the nested logical plan, which doubles per
     round (union+join) until plan stringification alone OOMs the driver
@@ -857,15 +860,26 @@ def dedup_clusters(
         .localCheckpoint()
     )
     try:
-        for _ in range(max_iter):
+        for rounds in range(1, max_iter + 1):
             prop = (
                 edges.join(labels.withColumnRenamed("id", "src"), "src")
                 .select(F.col("dst").alias("id"), "rep")
             )
-            new_labels = (
+            stepped = (
                 labels.unionByName(prop)
                 .groupBy("id")
                 .agg(F.min("rep").alias("rep"))
+            )
+            # pointer jump: follow the rep one hop (rep is a node id, so
+            # the self-join always hits; left+coalesce guards regardless)
+            hop = stepped.select(
+                F.col("id").alias("rep"), F.col("rep").alias("_rep2")
+            )
+            new_labels = (
+                stepped.join(hop, "rep", "left")
+                .select(
+                    "id", F.coalesce(F.col("_rep2"), F.col("rep")).alias("rep")
+                )
                 .localCheckpoint()
             )
             changed = (
@@ -876,11 +890,13 @@ def dedup_clusters(
             )
             labels = new_labels
             if changed == 0:
+                dedup_clusters.last_rounds = rounds
                 return labels
         raise RuntimeError(
             f"dedup_clusters: min-label propagation did not converge in "
-            f"{max_iter} rounds — graph diameter exceeds the cap; raise "
-            "max_iter or switch to a large-star/small-star variant."
+            f"{max_iter} rounds — raise max_iter (with pointer jumping the "
+            "round count is O(log n), so this indicates a pathological "
+            "input, not a long chain)."
         )
     finally:
         edges.unpersist()

@@ -625,3 +625,14 @@ def test_token_budget_sample_greedy_prefix(spark):
     assert out == want
     # 5 docs kept: tok_before 0,5,10,15,20 (< 23); 25 excluded
     assert len(out) == 5
+
+
+def test_dedup_clusters_pointer_jumping_round_count(spark):
+    """A 40-edge chain needs 40 rounds under plain propagation; pointer
+    jumping must finish in O(log n) — well under 10."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    got = {r.id: r.rep for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(41)}
+    assert dedup.dedup_clusters.last_rounds <= 10

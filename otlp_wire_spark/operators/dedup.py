@@ -403,9 +403,9 @@ def segment_dedup(
     them if profiles demand. Reassembly's collect_list is bounded by
     document length, not corpus size.
 
-    Reference parity: composes the counting discipline of exact_dedup
-    (first-occurrence-wins, reference internal/exp/metadata/identity.go
-    semantics applied at sub-document granularity).
+    Reference parity: composes the counting discipline of exact_dedup —
+    first-match-wins resolution (reference attributes.go:336-404) applied
+    at sub-document granularity.
     """
     segs = _doc_segments(df, id_col, text_col, seg_tokens)
     # null segments get a per-doc salt so empty docs don't pile into one
@@ -643,6 +643,14 @@ def near_dup_pairs(
     ``shingles`` DataFrame (``shingle_table`` shape — e.g. a parquet/
     bucketed side-table) for full lifecycle control. With neither, each
     pass recomputes lineage — fine at test scale, a 2× constant at 100 TB.
+
+    LAZY-CONSUMPTION HAZARD with ``persist=True``: the internal cache is
+    retired when the NEXT ``persist=True`` call arrives — if this call's
+    returned (still-lazy) DataFrame or anything derived from it executes
+    AFTER that, it recomputes lineage (correct, but the single-scan
+    guarantee silently degrades to the 2× constant). In interleaved
+    multi-query sessions that consume results lazily, pass a
+    caller-managed ``shingles=`` side-table instead.
     """
     if shingles is None:
         shingles = _shingled(df, id_col, text_col, n)

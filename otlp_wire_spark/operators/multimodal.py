@@ -15,7 +15,6 @@ is governed by spark.sql.execution.arrow.maxRecordsPerBatch vs media size
 
 from __future__ import annotations
 
-import struct
 from collections.abc import Iterator
 
 import pandas as pd

@@ -124,12 +124,22 @@ def write_sharded_with_manifest(
     ``shard=-1`` quarantine sink) are counted by their ``extra_metrics``
     only — exactly like the observe path. And because a read-back counts
     whatever is COMMITTED in the sink (not just this job's rows), it is
-    only used with ``mode="overwrite"``; append-mode writes keep the
-    observe strategy at any shard count (this-job-only counters beat agg
-    width)."""
+    only used with ``mode="overwrite"`` AND a STATIC resolved
+    ``spark.sql.sources.partitionOverwriteMode``: dynamic overwrite only
+    replaces the partitions present in THIS job's data, so stale shard
+    directories from a previous run would stay committed and be counted
+    into the manifest. Under dynamic mode (or append) the function keeps
+    the observe strategy at any shard count — exact this-job-only
+    counters beat aggregate width."""
     from pyspark.sql import Observation
 
     use_readback = num_shards > observe_threshold and mode == "overwrite"
+    if use_readback:
+        pom = routed.sparkSession.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC"
+        )
+        if (pom or "STATIC").upper() != "STATIC":
+            use_readback = False
     shard = F.col("shard")
     rec = F.col("parsed.record_count")
     size = F.length(F.col(payload_col))

@@ -7,7 +7,9 @@ micro-batch runs ``incremental_curate`` against the index (md5
 fingerprints + shingle table of everything exact-curated so far), writes
 the admitted rows to a per-epoch sink directory, and appends the batch's
 own index rows as a new epoch partition. All per-epoch writes use
-``overwrite`` into an ``epoch=<id>`` subdirectory, so a foreachBatch
+``overwrite`` into an ``epoch=<id>`` subdirectory AND each batch reads
+the index excluding its own epoch (a failed attempt's partial index
+writes must not feed the retry — see ``admit_epoch``), so a foreachBatch
 retry of the same epoch is idempotent — the streaming analog of the
 pipeline's per-stage manifest resume (pipeline.py) and the count-
 conservation discipline of streaming_route.
@@ -48,22 +50,98 @@ def seed_curation_index(
     sh.write.mode("overwrite").parquet(os.path.join(index_dir, _SH, "epoch=seed"))
 
 
+def _dir_has_data(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — ``os.path``
+    only sees the driver-local filesystem, and the 100 TB ingest shape
+    implies HDFS/S3 paths where a local check silently reports 'no index'
+    and the stream would re-admit duplicates of the whole seeded corpus."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p)) and len(fs.listStatus(p)) > 0
+
+
 def _read_index(
-    spark: SparkSession, index_dir: str
+    spark: SparkSession, index_dir: str, exclude_epoch: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """All epoch partitions of the index; typed empties when none exist yet
-    (first batch of a fresh corpus)."""
+    (first batch of a fresh corpus).
+
+    ``exclude_epoch`` drops that one epoch partition — the retry-idempotency
+    keystone: a foreachBatch retry of epoch E re-reads the index AFTER a
+    failed attempt may already have written ``epoch=E`` rows. Without the
+    exclusion the batch sees its own fingerprints: ``validate_ids=True``
+    then raises on every retry (the stream wedges), and with it off every
+    doc anti-joins against itself and the epoch is rewritten EMPTY. The
+    epoch partition column is read via partition discovery and compared as
+    a string (epoch values mix 'seed' with numeric ids)."""
     fps_dir = os.path.join(index_dir, _FPS)
     sh_dir = os.path.join(index_dir, _SH)
-    if os.path.isdir(fps_dir) and any(os.scandir(fps_dir)):
-        fps = spark.read.parquet(os.path.join(fps_dir, "epoch=*"))
-    else:
-        fps = spark.createDataFrame([], "fp string")
-    if os.path.isdir(sh_dir) and any(os.scandir(sh_dir)):
-        sh = spark.read.parquet(os.path.join(sh_dir, "epoch=*"))
-    else:
-        sh = spark.createDataFrame([], "id long, sh array<string>")
-    return fps, sh
+
+    def _load(path: str, schema: str) -> DataFrame:
+        if not _dir_has_data(spark, path):
+            return spark.createDataFrame([], schema)
+        df = spark.read.option("basePath", path).parquet(path)
+        if exclude_epoch is not None:
+            df = df.where(F.col("epoch").cast("string") != exclude_epoch)
+        return df.drop("epoch")
+
+    return (
+        _load(fps_dir, "fp string"),
+        _load(sh_dir, "id long, sh array<string>"),
+    )
+
+
+def admit_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_dir: str,
+    admitted_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    min_tokens: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    bucket_cap: int = 1000,
+    validate_ids: bool = True,
+) -> None:
+    """One micro-batch admission — the foreachBatch body, module-level so
+    retry idempotency is directly testable. RETRY CONTRACT: the index is
+    read EXCLUDING this epoch's own partitions, because a prior failed
+    attempt of the same epoch may have written ``epoch=<id>`` index rows
+    before dying pre-checkpoint-commit; seeing them would make the batch
+    collide with itself (validate_ids raises forever / the epoch rewrites
+    empty — see _read_index). All three writes then epoch-overwrite, so a
+    re-run converges to the identical committed state."""
+    from otlp_wire_spark.operators.curate import incremental_curate
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    fps, sh = _read_index(spark, index_dir, exclude_epoch=str(epoch_id))
+    admitted, add_fps, add_sh = incremental_curate(
+        batch_df, fps, sh, id_col, text_col,
+        langs, min_quality, min_tokens,
+        k, bands, n, threshold, bucket_cap,
+        validate_ids=validate_ids, with_index_additions=True,
+    )
+    admitted.write.mode("overwrite").parquet(
+        os.path.join(admitted_dir, f"epoch={epoch_id}")
+    )
+    # index additions AFTER the admitted write: a retry that died
+    # between the two writes re-runs the whole epoch and overwrites
+    # both — never a half-indexed epoch feeding the next batch,
+    # because the next batch only starts after this epoch commits
+    add_fps.write.mode("overwrite").parquet(
+        os.path.join(index_dir, _FPS, f"epoch={epoch_id}")
+    )
+    add_sh.write.mode("overwrite").parquet(
+        os.path.join(index_dir, _SH, f"epoch={epoch_id}")
+    )
 
 
 def streaming_incremental_curate(
@@ -88,33 +166,14 @@ def streaming_incremental_curate(
     read index → incremental_curate → write admitted rows to
     ``admitted_dir/epoch=<id>`` → append the batch's index rows as
     ``index_dir/{fingerprints,shingles}/epoch=<id>``. Epoch-keyed
-    overwrites make retries idempotent; the checkpoint makes the whole
-    ingest resumable."""
-    from otlp_wire_spark.operators.curate import incremental_curate
+    overwrites make retries idempotent (see ``admit_epoch`` for the
+    retry contract); the checkpoint makes the whole ingest resumable."""
 
     def _admit(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        fps, sh = _read_index(spark, index_dir)
-        admitted, add_fps, add_sh = incremental_curate(
-            batch_df, fps, sh, id_col, text_col,
-            langs, min_quality, min_tokens,
-            k, bands, n, threshold, bucket_cap,
-            validate_ids=validate_ids, with_index_additions=True,
-        )
-        admitted.write.mode("overwrite").parquet(
-            os.path.join(admitted_dir, f"epoch={epoch_id}")
-        )
-        # index additions AFTER the admitted write: a retry that died
-        # between the two writes re-runs the whole epoch and overwrites
-        # both — never a half-indexed epoch feeding the next batch,
-        # because the next batch only starts after this epoch commits
-        add_fps.write.mode("overwrite").parquet(
-            os.path.join(index_dir, _FPS, f"epoch={epoch_id}")
-        )
-        add_sh.write.mode("overwrite").parquet(
-            os.path.join(index_dir, _SH, f"epoch={epoch_id}")
+        admit_epoch(
+            batch_df, epoch_id, index_dir, admitted_dir,
+            id_col, text_col, langs, min_quality, min_tokens,
+            k, bands, n, threshold, bucket_cap, validate_ids,
         )
 
     writer = (

@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 
 from otlp_wire_spark.operators.curate import curate
 from otlp_wire_spark.streaming.curate_stream import (
+    admit_epoch,
     seed_curation_index,
     streaming_incremental_curate,
 )
@@ -89,3 +90,53 @@ def test_streaming_admission_equals_batch_and_resumes(spark, tmp_path_factory):
     got2 = {r.doc_id for r in admitted2.select("doc_id").collect()}
     assert got2 == got
     assert len(glob.glob(os.path.join(admitted_dir, "epoch=*"))) == len(epochs)
+
+
+def test_epoch_retry_after_partial_index_write_is_idempotent(
+    spark, tmp_path_factory
+):
+    """The crash window that used to wedge or empty the stream: an attempt
+    of epoch E dies AFTER writing its index epoch but BEFORE the checkpoint
+    commits, so the retry of E reads an index that already contains E's own
+    fingerprint/shingle rows. The retry must (a) not raise the append-only
+    id check against the batch's own ids, (b) re-admit the identical row
+    set — never an empty epoch — and (c) leave index epochs identical to a
+    single clean run."""
+    old_rows, new_rows = _corpus()
+    index_dir = str(tmp_path_factory.mktemp("rt_idx"))
+    admitted_dir = str(tmp_path_factory.mktemp("rt_adm"))
+
+    old = spark.createDataFrame(old_rows, _SCHEMA)
+    seed_curation_index(curate(old), index_dir)
+    batch = spark.createDataFrame(new_rows, _SCHEMA)
+
+    # attempt 1 runs to completion — equivalent to dying exactly after the
+    # last index write, one instant before the checkpoint commit
+    admit_epoch(batch, 0, index_dir, admitted_dir, bucket_cap=10_000_000)
+    first = {
+        r.doc_id
+        for r in spark.read.parquet(
+            os.path.join(admitted_dir, "epoch=0")
+        ).select("doc_id").collect()
+    }
+    assert first, "fixture must admit some rows"
+
+    # attempt 2 = the foreachBatch retry of the SAME epoch (validate_ids
+    # defaults True: without self-epoch exclusion this raises)
+    admit_epoch(batch, 0, index_dir, admitted_dir, bucket_cap=10_000_000)
+    second = {
+        r.doc_id
+        for r in spark.read.parquet(
+            os.path.join(admitted_dir, "epoch=0")
+        ).select("doc_id").collect()
+    }
+    assert second == first  # not empty, not different
+
+    # index converged: exactly the seed + epoch-0 partitions, and epoch-0's
+    # fingerprints cover the batch's exact-curated set both times
+    fps = spark.read.option(
+        "basePath", os.path.join(index_dir, "fingerprints")
+    ).parquet(os.path.join(index_dir, "fingerprints"))
+    assert {r.epoch for r in fps.select("epoch").distinct().collect()} == {
+        "seed", "0"
+    }

@@ -144,6 +144,29 @@ def test_manifest_readback_ignores_sentinel_shards(spark, tmp_path):
     assert int(extras["quarantined"]) == n_quar
 
 
+def test_manifest_dynamic_overwrite_keeps_observe_strategy(spark, tmp_path):
+    """Under partitionOverwriteMode=dynamic an overwrite only replaces the
+    partitions present in THIS job's data — a read-back would count stale
+    shard directories from a previous run, so the manifest must stay on
+    the observe strategy (and keep describing only this job's rows)."""
+    from otlp_wire_spark.operators.route import write_sharded_with_manifest
+
+    out = str(tmp_path / "sink_dyn")
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        # first run writes 300 rows across many shards; second run writes
+        # 100 rows touching fewer shards — dynamic overwrite leaves the
+        # rest of the first run's shard dirs committed
+        write_sharded_with_manifest(_mk_routed(spark, 300, 128), out, 128)
+        second = write_sharded_with_manifest(_mk_routed(spark, 100, 128), out, 128)
+    finally:
+        spark.conf.set(key, prev)
+    assert second.strategy == "observe"
+    assert sum(v["page_count"] for v in second.values()) == 100
+
+
 def test_manifest_append_mode_keeps_observe_strategy(spark, tmp_path):
     """A read-back counts whatever is committed, so append-mode writes must
     stay on the this-job-only observe strategy at any shard count."""

@@ -388,60 +388,102 @@ def segment_dedup(
     surviving segments, in original order. Within-doc repeats of a segment
     are duplicates too. Empty/NULL docs survive with ``clean_text = ''``.
 
-    Scale shape (100 TB): ONE corpus scan, two exchanges, zero joins.
-    ``posexplode_outer`` keeps zero-segment documents as a (null, null)
-    segment row, so the final per-doc aggregate covers every document
-    without a join back to a second scan of the corpus. The
-    first-occurrence window partitions on the segment TEXT (the grouping
-    key IS the segment, so semantics are exact with no hash-collision
-    caveat; a segment is ~tens of bytes, small for a shuffle key) — with
-    null-segment rows salted by doc id so a corpus with 10^9 empty docs
-    doesn't funnel them into one window group. Hot boilerplate segments
-    (cookie banners repeated 10^9×) make big real groups: row_number over
-    a sorted group spills rather than OOMs (same argument as the LSH
-    bucket cap), and a pre-cap like minhash_lsh_candidates' could bound
-    them if profiles demand. Reassembly's collect_list is bounded by
-    document length, not corpus size.
+    Scale shape (100 TB): first-occurrence resolution is a MAP-SIDE-
+    COMBINABLE hash aggregate keyed by the segment text — the
+    lexicographic ``(id, pos)`` minimum rides a decimal-packed key for
+    integral ids (``min(struct)`` otherwise), keeping the whole thing a
+    codegen'd HashAggregate (the grouping key IS the segment, so
+    semantics are exact with no hash-collision caveat). A 10^9-repeat cookie-banner segment
+    collapses to one partial row per map task before the shuffle, so the
+    hot key never funnels through a single reducer — the earlier
+    formulation resolved first-occurrence with ``row_number`` over
+    ``Window.partitionBy(segment)``, which sort-spilled the whole hot
+    group through ONE task (windows are not AQE-skew-splittable; pinned
+    against regression by tests/test_ops.py::test_segment_dedup_hot_
+    segment_plan_is_aggregate_not_window). The winners table (one row per
+    DISTINCT segment) re-aggregates by winning doc id — bounded per doc
+    by document length — and left-joins onto a narrow per-doc
+    ``(id, n_segs)`` projection on the UNIQUE doc id: a skew-free hash
+    join that AQE can split further if ever needed. Cost: the corpus text
+    is tokenized twice (segment stream + n_segs projection), both
+    embarrassingly parallel narrow scans — the price of deleting the
+    single-reducer wall-clock cliff; pass a persisted/cached ``df`` to
+    pay the scan once.
 
     Reference parity: composes the counting discipline of exact_dedup —
     first-match-wins resolution (reference attributes.go:336-404) applied
     at sub-document granularity.
     """
     segs = _doc_segments(df, id_col, text_col, seg_tokens)
-    # null segments get a per-doc salt so empty docs don't pile into one
-    # window group; their rn is never used (the keep flag requires a
-    # non-null segment)
-    first_w = Window.partitionBy(
-        "_seg", F.when(F.col("_seg").isNull(), F.col("_id")).otherwise(F.lit(0))
-    ).orderBy("_id", "_pos")
-    flagged = segs.withColumn(
-        "_keep",
-        F.col("_seg").isNotNull() & (F.row_number().over(first_w) == 1),
-    )
-    return flagged.groupBy("_id").agg(
-        F.first("_n_segs").alias("n_segs"),
-        F.sum(F.col("_keep").cast("int")).cast("int").alias("n_kept"),
-        (
-            F.first("_n_segs") - F.sum(F.col("_keep").cast("int")).cast("int")
-        ).alias("n_dropped"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                # collect_list drops nulls: non-kept rows contribute nothing
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("_keep"), F.struct("_pos", "_seg"))
-                    )
+    # one row per DISTINCT segment: the first (id, pos) that carries it.
+    # The lexicographic (id, pos) min rides a single DECIMAL(38,0) key —
+    # id*2^31 + pos is order-isomorphic to the (id, pos) struct for any
+    # long id (incl. negative) because 0 <= pos < 2^31 — so the aggregate
+    # stays a codegen'd HashAggregate with map-side partial_min (a
+    # min(struct(...)) falls back to SortAggregate: still combinable, but
+    # it re-sorts every map partition by segment first).
+    from pyspark.sql.types import IntegralType
+
+    nonnull = segs.where(F.col("_seg").isNotNull())
+    if isinstance(segs.schema["_id"].dataType, IntegralType):
+        _R = F.lit(2_147_483_648)  # 2^31 > any int position
+        packed = F.col("_id").cast("decimal(27,0)") * _R + F.col("_pos")
+        _wpos = F.pmod(F.col("_wp"), _R)
+        first_occ = (
+            nonnull.groupBy("_seg")
+            .agg(F.min(packed).alias("_wp"))
+            .select(
+                ((F.col("_wp") - _wpos) / _R).cast("long").alias("_id"),
+                _wpos.cast("int").alias("_pos"),
+                "_seg",
+            )
+        )
+    else:
+        # non-integral ids can't pack into a decimal; min(struct) keeps the
+        # identical lexicographic semantics via a (still map-side-
+        # combinable) SortAggregate
+        first_occ = (
+            nonnull.groupBy("_seg")
+            .agg(F.min(F.struct("_id", "_pos")).alias("_w"))
+            .select(
+                F.col("_w._id").alias("_id"),
+                F.col("_w._pos").alias("_pos"),
+                "_seg",
+            )
+        )
+    kept = (
+        first_occ
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_seg"))),
+                    lambda kv: kv["_seg"],
                 ),
-                lambda kv: kv["_seg"],
-            ),
-        ).alias("clean_text"),
-    ).select(
+            ).alias("clean_text"),
+        )
+    )
+    # narrow per-doc projection (no explode): every document appears in the
+    # output even when it keeps zero segments (empty docs, pure-boilerplate
+    # docs)
+    s = seg_tokens
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        F.floor(
+            (F.size(tokens_col(F.col(text_col))) + F.lit(s - 1)) / F.lit(s)
+        )
+        .cast("int")
+        .alias("n_segs"),
+    )
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0)).cast("int")
+    return docs.join(kept, "_id", "left").select(
         F.col("_id").alias(id_col),
         "n_segs",
-        "n_kept",
-        "n_dropped",
-        "clean_text",
+        n_kept.alias("n_kept"),
+        (F.col("n_segs") - n_kept).cast("int").alias("n_dropped"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
 
 

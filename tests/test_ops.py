@@ -499,20 +499,46 @@ def test_segment_dedup_property_matches_python(spark):
     assert sum(v[2] for v in want.values()) > 0, "fixture must collide"
 
 
-def test_segment_dedup_plan_single_scan_two_exchanges(spark):
-    """The 100 TB shape: ONE corpus scan (posexplode_outer keeps empty docs
-    without a join back to a second scan), one exchange for the
-    first-occurrence window, one for the per-doc aggregate, no Python."""
-    import re
-
+def test_segment_dedup_hot_segment_plan_is_aggregate_not_window(spark):
+    """The extreme-skew shape (round-3 verdict item): first-occurrence
+    resolution must pass through a map-side-combinable HashAggregate
+    (partial_min before the exchange collapses a 10^9-repeat boilerplate
+    segment to one row per map task), NEVER a row_number window
+    partitioned by the segment text — windows are not AQE-skew-splittable,
+    so the hot key would sort-spill through ONE reducer. The join back is
+    on the UNIQUE doc id (skew-free by construction)."""
     df = spark.createDataFrame(
         [(i, f"w{i} w{i+1} w{i+2}") for i in range(50)],
         "doc_id long, text string",
     )
     plan = dedup.segment_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert len(re.findall(r"\bJoin", plan)) == 0
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "Window" not in plan, "segment window regression"
+    assert "partial_min" in plan, "first-occurrence must map-side combine"
+    assert "SortAggregate" not in plan, "integral ids must stay hash-agg"
+
+
+def test_segment_dedup_planted_million_repeat_hot_segment(spark):
+    """A planted ~10^6-repeat hot segment (the cookie-banner case): every
+    doc is the same 3-token segment repeated 3×. Correctness: exactly one
+    occurrence survives corpus-wide — doc 0 keeps one copy, every other
+    doc is stripped to ''."""
+    n = 350_000
+    hot = "click accept cookies"
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(" ".join([hot] * 3)).alias("text"),
+    )
+    out = dedup.segment_dedup(docs)
+    tot = out.agg(
+        F.sum("n_kept").alias("k"),
+        F.sum("n_segs").alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    ).first()
+    assert (tot.k, tot.s, tot.c) == (1, 3 * n, n)
+    winners = out.where(F.col("n_kept") > 0).collect()
+    assert len(winners) == 1
+    assert winners[0].doc_id == 0 and winners[0].clean_text == hot
 
 
 def test_segment_topk_counts_and_tiebreak(spark):

@@ -289,12 +289,60 @@ def contamination_report(
     )
 
 
+# bounded cache generations for the samplers' tiny per-stratum stats
+# tables (same pattern as _INCR_CACHES)
+_SAMPLE_CACHES: list = []
+
+_LONG_MAX = (1 << 63) - 1
+_TWO64 = 18446744073709551616.0  # 2^64 as a double
+
+
+def _retire_sample_caches() -> None:
+    while _SAMPLE_CACHES:
+        try:
+            _SAMPLE_CACHES.pop().unpersist()
+        except Exception:  # noqa: BLE001 — session may be gone
+            pass
+
+
+def _hash_threshold(frac: F.Column) -> F.Column:
+    """Signed-long threshold at ~the ``frac`` quantile of a uniform 64-bit
+    hash reinterpreted as signed (the samplers' ordering domain). Double
+    arithmetic — the escalation margin absorbs the rounding; ``frac >= 1``
+    means keep-all."""
+    t = F.lit(float(-(1 << 63))) + frac * F.lit(_TWO64)
+    return (
+        F.when(frac >= 1.0, F.lit(_LONG_MAX)).otherwise(t.cast("long"))
+    )
+
+
+def _stratum_stats(
+    staged: DataFrame, strata_col: str, aggs: list
+) -> DataFrame:
+    """Tiny per-stratum stats side-table, persisted + eagerly materialized
+    (it is broadcast-joined and re-read by the verification pass; lazy, it
+    would re-scan the corpus per use)."""
+    from pyspark import StorageLevel
+
+    stats = (
+        staged.groupBy(F.col(strata_col).alias("_strat"))
+        .agg(*aggs)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _SAMPLE_CACHES.append(stats)
+    stats.count()
+    return stats
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
     quota: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    margin: float = 4.0,
+    max_rounds: int = 3,
+    observation: "object | None" = None,
 ) -> DataFrame:
     """Deterministic per-stratum sampling for training-mix construction:
     within each stratum keep the ``quota`` rows with the smallest
@@ -302,20 +350,78 @@ def stratified_sample(
     function of the data (stable across runs, partitionings and retries;
     the two-job-consistency rule) yet uncorrelated with ingestion order.
 
-    Scale shape: one exchange on the stratum key; the per-stratum
-    row_number window sort-spills on skewed strata rather than OOMing
-    (same argument as the LSH bucket cap)."""
+    Scale shape (the round-3 fix): the earlier formulation ranked every
+    stratum with one ``row_number`` window — a full sort of each stratum
+    in ONE reducer task, a wall-clock cliff when strata are languages at
+    10^12 docs. Now a HASH-THRESHOLD PRE-FILTER runs first: the hash is
+    ~uniform over the signed-64 space, so rows with
+    ``hash <= quantile(quota·margin/|stratum|)`` — a narrow, fully
+    parallel filter with the per-stratum threshold broadcast-joined in —
+    over-select ~``quota·margin`` candidates, and the exact window then
+    sorts O(quota) survivors, not O(stratum). Exactness: if a stratum
+    retains ≥ min(quota, n) survivors, the true top-quota set is a subset
+    of the survivors (every excluded row hashes above every survivor), so
+    the result is IDENTICAL to the full sort. A verification aggregate
+    checks that per stratum; pathological hash mass (e.g. 10^9 copies of
+    one text = one hash value) escalates ``margin`` ×4 up to
+    ``max_rounds`` and finally falls back to keep-all (the exact path) —
+    the chosen threshold is a pure function of the data, so recomputation
+    stays deterministic. Pass ``observation`` (pyspark Observation) to
+    record ``window_input_rows``, the survivor count the final sort
+    actually pays (pinned O(quota) by tests).
+
+    Cost note: the pre-filter adds ~2 extra narrow corpus scans (stats +
+    verification); persist the input upstream if it is expensive lineage.
+    """
     from pyspark.sql import Window
 
     from otlp_wire_spark.functions.fnv import fnv64a_expr
 
-    w = Window.partitionBy(strata_col).orderBy(
-        fnv64a_expr(F.coalesce(F.col(text_col), F.lit(""))), F.col(id_col)
+    _retire_sample_caches()
+    staged = df.withColumn(
+        "_hkey", fnv64a_expr(F.coalesce(F.col(text_col), F.lit("")))
     )
+    stats = _stratum_stats(
+        staged, strata_col, [F.count(F.lit(1)).alias("_n")]
+    )
+
+    m = float(margin)
+    surv = None
+    for rnd in range(max_rounds + 1):
+        if rnd == max_rounds:
+            thr = F.lit(_LONG_MAX)  # exact fallback: keep every row
+        else:
+            thr = _hash_threshold(F.lit(m) * quota / F.col("_n"))
+        surv = staged.join(
+            F.broadcast(stats),
+            F.col(strata_col).eqNullSafe(F.col("_strat")),
+        ).where(F.col("_hkey") <= thr)
+        if rnd == max_rounds:
+            break
+        short = (
+            stats.join(
+                surv.groupBy("_strat").agg(F.count(F.lit(1)).alias("_sn")),
+                "_strat",
+                "left",
+            )
+            .where(
+                F.coalesce(F.col("_sn"), F.lit(0))
+                < F.least(F.lit(quota), F.col("_n"))
+            )
+            .count()
+        )
+        if short == 0:
+            break
+        m *= 4.0
+    if observation is not None:
+        surv = surv.observe(
+            observation, F.count(F.lit(1)).alias("window_input_rows")
+        )
+    w = Window.partitionBy(strata_col).orderBy("_hkey", id_col)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        surv.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= quota)
-        .drop("_rn")
+        .select(*df.columns)
     )
 
 
@@ -325,6 +431,9 @@ def sample_by_token_budget(
     budget: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    margin: float = 4.0,
+    max_rounds: int = 3,
+    observation: "object | None" = None,
 ) -> DataFrame:
     """Training-mix sampling by TOKEN budget rather than document count:
     within each stratum, walk documents in (fnv64a(text), id) order and
@@ -332,31 +441,87 @@ def sample_by_token_budget(
     ``budget`` — the greedy prefix a mixture spec ("20B tokens of lang X")
     actually wants. The last kept doc may overshoot the budget; a packer
     (pack.pack_sequences) downstream trims to the exact token boundary.
+    Emits ``n_tokens`` and ``tok_before`` so callers can trim or account.
 
     Deterministic for the same reason as stratified_sample (content-hash
-    order = pure function of the data), and the same scale shape: one
-    exchange on the stratum, a sort-spilling running-sum window (explicit
-    ROWS frame — the RANGE default would peer-group ties), no second pass.
-    Emits ``n_tokens`` and ``tok_before`` so callers can trim or account.
+    order = pure function of the data), and the same skew-safe scale
+    shape: a hash-threshold pre-filter at ~the ``budget·margin / stratum
+    token total`` quantile bounds the running-sum window's input to
+    ~``budget/avg_tokens · margin`` docs instead of the whole stratum.
+    Exactness: if a stratum's survivors carry ≥ ``budget`` tokens (or are
+    the whole stratum), every excluded doc has ``tok_before ≥`` the
+    survivors' token total ``≥ budget`` and is correctly out; verified
+    per stratum with ×4 margin escalation and a keep-all exact fallback,
+    exactly as in stratified_sample. The explicit ROWS frame keeps
+    hash-tied duplicates from peer-grouping into one cumulative value.
     """
     from pyspark.sql import Window
 
     from otlp_wire_spark.functions.fnv import fnv64a_expr
     from otlp_wire_spark.operators.textstats import tokens_norm_col
 
-    n_toks = F.size(tokens_norm_col(F.col(text_col))).cast("long")
-    staged = df.withColumn("_nt", n_toks)
+    _retire_sample_caches()
+    staged = df.withColumn(
+        "_nt", F.size(tokens_norm_col(F.col(text_col))).cast("long")
+    ).withColumn(
+        "_hkey", fnv64a_expr(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    stats = _stratum_stats(
+        staged,
+        strata_col,
+        [F.count(F.lit(1)).alias("_n"), F.sum("_nt").alias("_tot")],
+    )
+
+    m = float(margin)
+    surv = None
+    for rnd in range(max_rounds + 1):
+        if rnd == max_rounds:
+            thr = F.lit(_LONG_MAX)
+        else:
+            thr = F.when(F.col("_tot") <= 0, F.lit(_LONG_MAX)).otherwise(
+                _hash_threshold(F.lit(m) * budget / F.col("_tot"))
+            )
+        surv = staged.join(
+            F.broadcast(stats),
+            F.col(strata_col).eqNullSafe(F.col("_strat")),
+        ).where(F.col("_hkey") <= thr)
+        if rnd == max_rounds:
+            break
+        short = (
+            stats.join(
+                surv.groupBy("_strat").agg(
+                    F.count(F.lit(1)).alias("_sn"),
+                    F.sum("_nt").alias("_stok"),
+                ),
+                "_strat",
+                "left",
+            )
+            .where(
+                (F.coalesce(F.col("_stok"), F.lit(0)) < budget)
+                & (F.coalesce(F.col("_sn"), F.lit(0)) < F.col("_n"))
+            )
+            .count()
+        )
+        if short == 0:
+            break
+        m *= 4.0
+    if observation is not None:
+        surv = surv.observe(
+            observation, F.count(F.lit(1)).alias("window_input_rows")
+        )
     w = (
         Window.partitionBy(strata_col)
-        .orderBy(
-            fnv64a_expr(F.coalesce(F.col(text_col), F.lit(""))), F.col(id_col)
-        )
+        .orderBy("_hkey", F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        staged.withColumn(
+        surv.withColumn(
             "tok_before", F.coalesce(F.sum("_nt").over(w), F.lit(0))
         )
         .where(F.col("tok_before") < budget)
-        .withColumnRenamed("_nt", "n_tokens")
+        .select(
+            *df.columns,
+            F.col("_nt").alias("n_tokens"),
+            F.col("tok_before"),
+        )
     )

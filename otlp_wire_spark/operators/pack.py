@@ -34,6 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# bounded cache generations for persist_input=True (the handle is not
+# caller-visible; the previous generation retires on the next call — same
+# pattern as dedup._LAST_PERSISTED_SHINGLES)
+_PACK_CACHES: list = []
+
 
 def _bucket_bounds(df: DataFrame, id_col: str, parts: int) -> list:
     """Approximate id boundary literals — balance only, never correctness
@@ -62,10 +67,32 @@ def _bucket_bounds(df: DataFrame, id_col: str, parts: int) -> list:
 
 
 def global_token_offsets(
-    df: DataFrame, id_col: str = "doc_id", count_col: str = "n_tokens"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    persist_input: bool = False,
 ) -> DataFrame:
     """Attach ``tok_before`` — the exact number of tokens in all documents
-    with a smaller id — via the distributed two-pass prefix sum."""
+    with a smaller id — via the distributed two-pass prefix sum.
+
+    INPUT-LINEAGE DISCIPLINE: this evaluates ``df``'s lineage THREE times
+    (boundary quantiles, per-bucket totals, the final window job). Hand it
+    a cheap projection — ideally just ``(id, n_tokens)`` joined back
+    later, or a persisted DataFrame (q_curation_pipeline persists its
+    upstream) — or pass ``persist_input=True`` to have it persisted here
+    with bounded cache generations (eagerly materialized, so all three
+    passes read the cache; retired on the next persist_input call)."""
+    if persist_input:
+        from pyspark import StorageLevel
+
+        while _PACK_CACHES:
+            try:
+                _PACK_CACHES.pop().unpersist()
+            except Exception:  # noqa: BLE001 — session may be gone
+                pass
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _PACK_CACHES.append(df)
+        df.count()  # eager: quantile/totals jobs race a cold cache
     parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
     bounds = _bucket_bounds(df, id_col, parts)
     # bucket = #boundaries strictly below id: deterministic per ROW, ordered
@@ -110,15 +137,16 @@ def pack_sequences(
     seq_len: int,
     id_col: str = "doc_id",
     count_col: str = "n_tokens",
+    persist_input: bool = False,
 ) -> DataFrame:
     """(seq_id, doc_id, doc_tok_start, doc_tok_end, n_toks) — one row per
     (document, sequence) segment. Every sequence except the last carries
     exactly ``seq_len`` tokens; documents are never reordered and split
     only at sequence boundaries. Zero-token documents are dropped (they
     occupy no sequence space)."""
-    with_off = global_token_offsets(df, id_col, count_col).where(
-        F.col(count_col) > 0
-    )
+    with_off = global_token_offsets(
+        df, id_col, count_col, persist_input=persist_input
+    ).where(F.col(count_col) > 0)
     n = F.col(count_col).cast("long")
     before = F.col("tok_before")
     first_seq = F.floor(before / seq_len)

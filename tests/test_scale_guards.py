@@ -243,3 +243,45 @@ def test_segment_dedup_hot_boilerplate_segment(spark):
     # every doc keeps its unique second segment
     assert all(r.n_kept >= 1 for r in out)
     assert sum(r.n_dropped for r in out) == 2999
+
+
+def test_pack_persist_input_evaluates_upstream_once(spark):
+    """global_token_offsets triple-reads its input lineage (quantiles,
+    per-bucket totals, window). With persist_input=True an expensive
+    upstream must be evaluated exactly once — the cache feeds all three
+    passes; without it, more than once (the documented behavior direct
+    callers must plan for)."""
+    from pyspark.sql.types import LongType
+
+    from otlp_wire_spark.operators.pack import global_token_offsets
+
+    sc = spark.sparkContext
+    n = 64
+
+    def tracked_df():
+        acc = sc.accumulator(0)
+
+        @F.udf(LongType())
+        def tracked(v):
+            acc.add(1)
+            return v
+
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            tracked(F.col("id") % 7 + 1).alias("n_tokens"),
+        )
+        return acc, df
+
+    acc1, d1 = tracked_df()
+    out1 = global_token_offsets(d1, persist_input=True).collect()
+    assert acc1.value == n, "persist_input=True must evaluate upstream once"
+
+    acc2, d2 = tracked_df()
+    out2 = global_token_offsets(d2, persist_input=False).collect()
+    assert acc2.value > n, "without the knob the lineage is re-evaluated"
+
+    # identical offsets either way
+    assert sorted((r.doc_id, r.tok_before) for r in out1) == sorted(
+        (r.doc_id, r.tok_before) for r in out2
+    )
+    spark.catalog.clearCache()

@@ -48,6 +48,14 @@ def main() -> None:
     sf = _sf_from_dir(sf_dir)
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", int(20_000_000 * sf)))
 
+    # host-health controls (round-3 verdict #1): a single-thread CPU
+    # control + a steal probe before AND after the timed section, stamped
+    # into the JSON — a degraded-host window becomes machine-detectable
+    # (host_ok=false) instead of masquerading as a code regression
+    from otlp_wire_spark.hosthealth import host_health_stamp
+
+    health_before = host_health_stamp()
+
     spark = get_spark(
         app_name="otlp-wire-spark-bench",
         master=f"local[{cpus}]",
@@ -139,6 +147,7 @@ def main() -> None:
 
     # pipeline-only mode for the scaling harness (scripts/scaling_bench.py)
     if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "pipeline":
+        health = host_health_stamp(before=health_before)
         print(
             json.dumps(
                 {
@@ -152,6 +161,8 @@ def main() -> None:
                     "routed_docs_per_sec": round(routed_docs / pipeline_sec, 1),
                     "trial_secs": all_trials,
                     "cpus": cpus,
+                    "host": health,
+                    "host_ok": health["host_ok"],
                 }
             )
         )
@@ -205,6 +216,7 @@ def main() -> None:
         timings[name] = round(_st.median(durs), 3)
 
     total = round(sum(timings.values()), 3)
+    health = host_health_stamp(before=health_before)
     print(
         json.dumps(
             {
@@ -216,7 +228,10 @@ def main() -> None:
                 "n_pages": n_pages,
                 "routed_docs": routed_docs,
                 "routed_docs_per_sec": round(routed_docs / pipeline_sec, 1),
+                "trial_secs": all_trials,
                 "cpus": cpus,
+                "host": health,
+                "host_ok": health["host_ok"],
             }
         )
     )

@@ -74,13 +74,17 @@ def main() -> None:
     results = {}
     for lo, hi in pairs:
         tputs: dict[int, list[float]] = {lo: [], hi: []}
+        degraded_arms = 0
         for trial in range(args.trials):
             # alternate arms within each trial (interleaved pairs)
             for cpus in (lo, hi) if trial % 2 == 0 else (hi, lo):
                 r = run_arm(cpus, args.pages, args.sf_dir)
                 tputs[cpus].append(r["routed_docs_per_sec"])
+                ok = r.get("host_ok", True)
+                degraded_arms += 0 if ok else 1
                 print(f"trial {trial} local[{cpus}]: "
-                      f"{r['routed_docs_per_sec']:.0f} docs/s", flush=True)
+                      f"{r['routed_docs_per_sec']:.0f} docs/s"
+                      f"{'' if ok else '  [HOST DEGRADED]'}", flush=True)
         med_lo = statistics.median(tputs[lo])
         med_hi = statistics.median(tputs[hi])
         eff = med_hi / (med_lo * (hi / lo))
@@ -89,6 +93,7 @@ def main() -> None:
             "all": {str(k): v for k, v in tputs.items()},
             "speedup": round(med_hi / med_lo, 3),
             "efficiency": round(eff, 3),
+            "degraded_arms": degraded_arms,
         }
         report.append(
             f"| local[{lo}] → local[{hi}] | {med_lo:,.0f} | {med_hi:,.0f} | "
@@ -108,6 +113,10 @@ parallelism levels on the same input.
   1 warm-up iteration per JVM (JIT steady state), {args.trials} timed
   trials per arm, arms interleaved, median reported
   (reference methodology: operations.md:97-103).
+- host-health: every arm self-stamps a single-thread CPU control and a
+  full-width steal probe (otlp_wire_spark/hosthealth.py); arms with
+  host_ok=false are flagged in the raw results ("degraded_arms" per
+  pair — rerun the pair in a quiet window if nonzero).
 - host: {platform.processor() or platform.machine()}, {os.cpu_count()} vCPUs
   (SMT: 4N threads above ~half the vCPUs share physical cores — the
   honest N→4N pair is the one that fits physical cores).

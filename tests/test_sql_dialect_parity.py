@@ -22,25 +22,19 @@ TABLES = [
 SHARED_DIALECT = [
     "band_histogram",
     "count_by_type",
-    "context_stats",
+    "parse_stats",
     "kv_extract",
     "enrich_broadcast",
-    "semi_join",
-    "anti_join",
+    "set_op_joins",
     "pricing_summary",
     "topk_users",
-    "absent_empty_stats",
     "dedup_exact",
     "salted_group_counts",
     "early_stop",
-    "count_pushdown",
     "wire_band_histogram",
     "wire_record_counts",
     "wire_attr_resolution",
-    "wire_quarantine_counts",
-    "wire_trace_validation",
-    "wire_ref_validation",
-    "wire_depth_guard",
+    "wire_field_validation",
     "dedup_rows",
 ]
 

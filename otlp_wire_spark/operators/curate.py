@@ -398,11 +398,12 @@ def stratified_sample(
         ).where(F.col("_hkey") <= thr)
         if rnd == max_rounds:
             break
+        sc = surv.groupBy(F.col("_strat").alias("_strat2")).agg(
+            F.count(F.lit(1)).alias("_sn")
+        )
         short = (
             stats.join(
-                surv.groupBy("_strat").agg(F.count(F.lit(1)).alias("_sn")),
-                "_strat",
-                "left",
+                sc, F.col("_strat").eqNullSafe(F.col("_strat2")), "left"
             )
             .where(
                 F.coalesce(F.col("_sn"), F.lit(0))
@@ -487,14 +488,13 @@ def sample_by_token_budget(
         ).where(F.col("_hkey") <= thr)
         if rnd == max_rounds:
             break
+        sc = surv.groupBy(F.col("_strat").alias("_strat2")).agg(
+            F.count(F.lit(1)).alias("_sn"),
+            F.sum("_nt").alias("_stok"),
+        )
         short = (
             stats.join(
-                surv.groupBy("_strat").agg(
-                    F.count(F.lit(1)).alias("_sn"),
-                    F.sum("_nt").alias("_stok"),
-                ),
-                "_strat",
-                "left",
+                sc, F.col("_strat").eqNullSafe(F.col("_strat2")), "left"
             )
             .where(
                 (F.coalesce(F.col("_stok"), F.lit(0)) < budget)

@@ -48,7 +48,7 @@ def run_arm(cpus: int, pages: int, sf_dir: str) -> dict:
         env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=900,
+        env=env, capture_output=True, text=True, timeout=1800,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)

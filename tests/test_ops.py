@@ -676,6 +676,28 @@ def test_stratified_sample_null_stratum_and_duplicate_texts(spark):
     assert got == _exact_sample_reference(rows, 40)
 
 
+def test_stratified_sample_null_stratum_stays_on_prefilter(spark):
+    """The verification join is null-safe: a NULL stratum must satisfy the
+    survivor check like any other stratum — not perpetually 'look short'
+    (null != null in a plain join) and silently escalate to the keep-all
+    fallback. Pinned via the observed window input: with a generous margin
+    it must stay O(quota), not O(n)."""
+    from pyspark.sql import Observation
+
+    from otlp_wire_spark.operators.curate import stratified_sample
+
+    n, quota = 8_000, 10
+    rows = [(i, f"nn{i} mm{i % 13} kk{i % 5}", None) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, stratum string")
+    obs = Observation("surv_null")
+    got = stratified_sample(df, "stratum", quota, observation=obs).collect()
+    assert len(got) == quota
+    surv = int(obs.get["window_input_rows"])
+    assert quota <= surv <= 60 * quota, (
+        f"window input {surv}: null stratum fell back to keep-all"
+    )
+
+
 def test_token_budget_sample_window_input_is_bounded(spark):
     """Same O(budget/avg_tokens) discipline for the running-sum window."""
     from pyspark.sql import Observation

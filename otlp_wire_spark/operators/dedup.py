@@ -467,15 +467,23 @@ def segment_dedup(
     )
     # narrow per-doc projection (no explode): every document appears in the
     # output even when it keeps zero segments (empty docs, pure-boilerplate
-    # docs)
+    # docs). Aggregated per id so duplicate-id inputs (out of contract but
+    # possible) still collapse to ONE output row per id, as the previous
+    # formulation's per-id groupBy did — winners are counted across the
+    # duplicates, n_segs is the max duplicate's count.
     s = seg_tokens
-    docs = df.select(
-        F.col(id_col).alias("_id"),
-        F.floor(
-            (F.size(tokens_col(F.col(text_col))) + F.lit(s - 1)) / F.lit(s)
+    docs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.floor(
+                (F.size(tokens_col(F.col(text_col))) + F.lit(s - 1))
+                / F.lit(s)
+            )
+            .cast("int")
+            .alias("_ns"),
         )
-        .cast("int")
-        .alias("n_segs"),
+        .groupBy("_id")
+        .agg(F.max("_ns").alias("n_segs"))
     )
     n_kept = F.coalesce(F.col("n_kept"), F.lit(0)).cast("int")
     return docs.join(kept, "_id", "left").select(

@@ -161,89 +161,102 @@ def _decode_batch(s: pd.Series) -> tuple[pd.Series, pd.Series]:
     return dec, err
 
 
-def _extract_frame(html: pd.Series) -> pd.DataFrame:
+def _extract_frame(
+    html: pd.Series, fields: list[str] | None = None
+) -> pd.DataFrame:
+    """Arrow-path extraction. ``fields`` prunes WORK, not just columns:
+    an unrequested extractor's regex scan never runs — the same
+    fields-limiting discipline as parse_pages_expr (without it, a
+    fields-limited arrow parse would silently pay full extraction per
+    row in the Python worker and subset afterwards)."""
+    want = (
+        None if fields is None else set(fields) | {"parse_error"}
+    )
+
+    def _w(*names: str) -> bool:
+        return want is None or bool(want.intersection(names))
+
     dec, err = _decode_batch(html)
     ok = dec.fillna("")  # errored rows extract over '' then get nulled below
-
-    sev_lists = ok.str.findall(_SEV_RE)
-    severity = sev_lists.map(lambda xs: int(xs[-1]) if xs else 0)
-
-    text_lists = ok.str.findall(_SEVTEXT_RE)
-    severity_text = text_lists.map(lambda xs: xs[-1] if xs else None)
-
-    kv_lists = ok.str.findall(_KV_RE)
-    attrs = kv_lists.map(lambda xs: [{"key": k, "value": v} for k, v in xs])
-
-    # findall+len (not str.count) so unclosed <rec> blocks don't count —
-    # exact parity with the oracle regex on adversarial inputs.
-    record_count = ok.str.findall(_REC_RE).map(len)
-    first_p = ok.str.extract(_TEXT_RE, expand=False)
-
-    # fixed-width validated ID: last-wins, empty→absent, wrong shape→error
-    traw = ok.str.findall(_TRACE_RE).map(lambda xs: xs[-1] if xs else None)
-    trace_id = traw.map(
-        lambda v: v if v is not None and _TRACE_OK_RE.match(v) else None
-    )
-    trace_error = traw.map(
-        lambda v: "invalid_trace_id"
-        if v is not None and v != "" and not _TRACE_OK_RE.match(v)
-        else None
-    )
-
-    # EntityRef structural validation: first match, 4 fields, t/i non-empty
-    def _ref(v: object) -> tuple[str | None, str | None, str | None]:
-        if not isinstance(v, str):
-            return (None, None, None)
-        parts = v.split(",")
-        if len(parts) == 4 and parts[0] and parts[1]:
-            return (parts[0], parts[1], None)
-        return (None, None, "invalid_ref")
-
-    rraw = ok.str.extract(_REF_RE, expand=False)
-    refs = rraw.map(_ref)
-    ref_type = refs.map(lambda t: t[0])
-    ref_id = refs.map(lambda t: t[1])
-    ref_error = refs.map(lambda t: t[2])
-
-    # depth guard: first match, iterative paren scan, bound at 64
-    draw = ok.str.extract(_DEPTH_RE, expand=False)
-    depths = draw.map(
-        lambda v: _scan_depth(v) if isinstance(v, str) else (None, None)
-    )
-    nest_depth = depths.map(lambda t: t[0])
-    nest_error = depths.map(lambda t: t[1])
-
     bad = err.notna()
-    severity = severity.mask(bad, None)
-    severity_text = severity_text.mask(bad, None)
-    attrs = attrs.mask(bad, None)
-    record_count = record_count.mask(bad, None)
-    first_p = first_p.mask(bad, None)
-    trace_id = trace_id.mask(bad, None)
-    trace_error = trace_error.mask(bad, None)
-    ref_type = ref_type.mask(bad, None)
-    ref_id = ref_id.mask(bad, None)
-    ref_error = ref_error.mask(bad, None)
-    nest_depth = nest_depth.mask(bad, None)
-    nest_error = nest_error.mask(bad, None)
+    cols: dict[str, pd.Series] = {}
 
-    return pd.DataFrame(
-        {
-            "severity": severity.astype(object),
-            "severity_text": severity_text.astype(object),
-            "attrs": attrs,
-            "record_count": record_count.astype(object),
-            "extracted_text": first_p.astype(object),
-            "trace_id": trace_id.astype(object),
-            "trace_error": trace_error.astype(object),
-            "ref_type": ref_type.astype(object),
-            "ref_id": ref_id.astype(object),
-            "ref_error": ref_error.astype(object),
-            "nest_depth": nest_depth.astype(object),
-            "nest_error": nest_error.astype(object),
-            "parse_error": err,
-        }
-    )
+    if _w("severity"):
+        sev_lists = ok.str.findall(_SEV_RE)
+        severity = sev_lists.map(lambda xs: int(xs[-1]) if xs else 0)
+        cols["severity"] = severity.mask(bad, None).astype(object)
+
+    if _w("severity_text"):
+        text_lists = ok.str.findall(_SEVTEXT_RE)
+        severity_text = text_lists.map(lambda xs: xs[-1] if xs else None)
+        cols["severity_text"] = severity_text.mask(bad, None).astype(object)
+
+    if _w("attrs"):
+        kv_lists = ok.str.findall(_KV_RE)
+        attrs = kv_lists.map(
+            lambda xs: [{"key": k, "value": v} for k, v in xs]
+        )
+        cols["attrs"] = attrs.mask(bad, None)
+
+    if _w("record_count"):
+        # findall+len (not str.count) so unclosed <rec> blocks don't count —
+        # exact parity with the oracle regex on adversarial inputs.
+        record_count = ok.str.findall(_REC_RE).map(len)
+        cols["record_count"] = record_count.mask(bad, None).astype(object)
+
+    if _w("extracted_text"):
+        first_p = ok.str.extract(_TEXT_RE, expand=False)
+        cols["extracted_text"] = first_p.mask(bad, None).astype(object)
+
+    if _w("trace_id", "trace_error"):
+        # fixed-width validated ID: last-wins, empty→absent, wrong
+        # shape→error
+        traw = ok.str.findall(_TRACE_RE).map(
+            lambda xs: xs[-1] if xs else None
+        )
+        trace_id = traw.map(
+            lambda v: v if v is not None and _TRACE_OK_RE.match(v) else None
+        )
+        trace_error = traw.map(
+            lambda v: "invalid_trace_id"
+            if v is not None and v != "" and not _TRACE_OK_RE.match(v)
+            else None
+        )
+        cols["trace_id"] = trace_id.mask(bad, None).astype(object)
+        cols["trace_error"] = trace_error.mask(bad, None).astype(object)
+
+    if _w("ref_type", "ref_id", "ref_error"):
+        # EntityRef structural validation: first match, 4 fields,
+        # t/i non-empty
+        def _ref(v: object) -> tuple[str | None, str | None, str | None]:
+            if not isinstance(v, str):
+                return (None, None, None)
+            parts = v.split(",")
+            if len(parts) == 4 and parts[0] and parts[1]:
+                return (parts[0], parts[1], None)
+            return (None, None, "invalid_ref")
+
+        rraw = ok.str.extract(_REF_RE, expand=False)
+        refs = rraw.map(_ref)
+        cols["ref_type"] = refs.map(lambda t: t[0]).mask(bad, None).astype(object)
+        cols["ref_id"] = refs.map(lambda t: t[1]).mask(bad, None).astype(object)
+        cols["ref_error"] = refs.map(lambda t: t[2]).mask(bad, None).astype(object)
+
+    if _w("nest_depth", "nest_error"):
+        # depth guard: first match, iterative paren scan, bound at 64
+        draw = ok.str.extract(_DEPTH_RE, expand=False)
+        depths = draw.map(
+            lambda v: _scan_depth(v) if isinstance(v, str) else (None, None)
+        )
+        cols["nest_depth"] = (
+            depths.map(lambda t: t[0]).mask(bad, None).astype(object)
+        )
+        cols["nest_error"] = (
+            depths.map(lambda t: t[1]).mask(bad, None).astype(object)
+        )
+
+    cols["parse_error"] = err
+    return pd.DataFrame(cols)
 
 
 @F.pandas_udf(PARSED_SCHEMA)
@@ -483,7 +496,7 @@ def parse_pages(
     @F.pandas_udf(schema)
     def _subset_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for html in it:
-            yield _extract_frame(html)[[f.name for f in schema.fields]]
+            yield _extract_frame(html, keep)[[f.name for f in schema.fields]]
 
     return df.withColumn("parsed", _subset_udf(F.col(html_col)))
 

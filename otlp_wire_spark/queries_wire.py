@@ -67,7 +67,11 @@ def q_wire_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.when(
         F.col("doc_id") % 29 == 0, F.unhex(F.lit("FF"))
     ).otherwise(F.encode(_wire_html(F.col("doc_id")), "UTF-8"))
-    parsed = parse_pages(docs.withColumn("html", html), impl="expr")
+    # fields-limited: only the record counter's scan runs (parse_error is
+    # always included) — the hot-path pruning discipline from CLAUDE.md
+    parsed = parse_pages(
+        docs.withColumn("html", html), impl="expr", fields=["record_count"]
+    )
     err = F.col("parsed.parse_error")
     return (
         parsed.groupBy("lang")

@@ -518,6 +518,21 @@ def test_segment_dedup_hot_segment_plan_is_aggregate_not_window(spark):
     assert "SortAggregate" not in plan, "integral ids must stay hash-agg"
 
 
+def test_segment_dedup_duplicate_ids_collapse_to_one_row(spark):
+    """Duplicate doc ids are out of contract, but must still collapse to
+    ONE output row per id (the pre-round-4 per-id groupBy behavior) —
+    a per-input-row output would double-count n_kept in downstream
+    count-conservation arithmetic."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (1, "a b c"), (2, "x y z")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.segment_dedup(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_kept == 1 and rows[1].clean_text == "a b c"
+    assert rows[2].n_kept == 1
+
+
 def test_segment_dedup_planted_million_repeat_hot_segment(spark):
     """A planted ~10^6-repeat hot segment (the cookie-banner case): every
     doc is the same 3-token segment repeated 3×. Correctness: exactly one

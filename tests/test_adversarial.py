@@ -80,6 +80,27 @@ CORPUS: list[tuple[str, bytes | None]] = [
     ("depth_unbalanced_open", b"<html><body>depth:((x);</body></html>"),
     ("depth_unbalanced_close", b"<html><body>depth:(x));</body></html>"),
     ("depth_close_before_open", b"<html><body>depth:)x(;</body></html>"),
+    # combined markers in ONE page (the merged wire_field_validation shape)
+    # — cross-extractor interactions must stay pinned across impls
+    ("combined_all_valid",
+     b"<html><body>trace_id=0123456789abcdef0123456789abcdef;"
+     b"ref:svc,inst-1,schema,desc;depth:((x));</body></html>"),
+    ("combined_reordered",
+     b"<html><body>depth:(x);ref:svc,i,s,d;"
+     b"trace_id=0123456789abcdef0123456789abcdef;</body></html>"),
+    # the trace VALUE is itself a ref-marker lookalike: ref's first-match
+    # fires inside the trace value; the trace value is non-hex → error
+    ("combined_trace_value_is_ref_marker",
+     b"<html><body>trace_id=ref:a,b,c,d;depth:((x));</body></html>"),
+    # ref field content contains parens — the depth scan reads ONLY the
+    # depth marker's body, never ref's
+    ("combined_ref_fields_with_parens",
+     b"<html><body>ref:s(v,i)n,s,d;depth:((x));</body></html>"),
+    # the depth body is cut at the FIRST ';' — which belongs to a trace
+    # marker embedded inside the parens, leaving depth unbalanced AND
+    # making that embedded trace marker the (invalid) last-wins trace
+    ("combined_depth_body_embeds_trace",
+     b"<html><body>depth:(trace_id=00;(x));</body></html>"),
 ]
 
 

@@ -178,18 +178,13 @@ def incremental_curate(
     corpus text is NEVER re-read — per-batch cost is O(|new|) plus the
     narrow index scans.
     """
-    from pyspark import StorageLevel
-
+    from otlp_wire_spark.cacheutil import persist_into, retire_oldest
     from otlp_wire_spark.operators.dedup import (
         minhash_lsh_candidates,
         shingle_table,
     )
 
-    while _INCR_CACHES:
-        try:
-            _INCR_CACHES.pop().unpersist()
-        except Exception:  # noqa: BLE001 — session may be gone
-            pass
+    retire_oldest(_INCR_CACHES, keep=0)
 
     if validate_ids:
         # contract check on the RAW batch (not its survivors — an exact-dup
@@ -207,7 +202,7 @@ def incremental_curate(
     # (1) intra-batch curation; persisted — it feeds the shingle table,
     # the candidate restriction and the final anti-join (each is a
     # separate action → lineage recompute otherwise)
-    fresh = (
+    fresh = persist_into(
         curate(new_docs, id_col, text_col, langs, min_quality, min_tokens)
         .withColumn("_fp", F.md5(F.col(text_col)))
         .join(
@@ -215,19 +210,18 @@ def incremental_curate(
             "_fp",
             "left_anti",
         )
-        .drop("_fp")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .drop("_fp"),
+        _INCR_CACHES,
     )
-    _INCR_CACHES.append(fresh)
 
     # (3) near-dup vs corpus AND within the batch, one LSH over the union
-    union_sh = (
+    # eager: see near_dup_pairs race note
+    union_sh = persist_into(
         existing_shingles.select("id", "sh")
-        .unionByName(shingle_table(fresh, id_col, text_col, n).select("id", "sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .unionByName(shingle_table(fresh, id_col, text_col, n).select("id", "sh")),
+        _INCR_CACHES,
+        eager=True,
     )
-    _INCR_CACHES.append(union_sh)
-    union_sh.count()  # eager: see near_dup_pairs race note
 
     cand = minhash_lsh_candidates(
         fresh, id_col, text_col, k, bands, n, bucket_cap, None, impl,
@@ -304,11 +298,9 @@ _TWO64 = 18446744073709551616.0  # 2^64 as a double
 
 
 def _retire_sample_caches() -> None:
-    while len(_SAMPLE_CACHES) >= _SAMPLE_CACHE_KEEP:
-        try:
-            _SAMPLE_CACHES.pop(0).unpersist()
-        except Exception:  # noqa: BLE001 — session may be gone
-            pass
+    from otlp_wire_spark.cacheutil import retire_oldest
+
+    retire_oldest(_SAMPLE_CACHES, keep=_SAMPLE_CACHE_KEEP - 1)
 
 
 def _hash_threshold(frac: F.Column) -> F.Column:
@@ -328,16 +320,63 @@ def _stratum_stats(
     """Tiny per-stratum stats side-table, persisted + eagerly materialized
     (it is broadcast-joined and re-read by the verification pass; lazy, it
     would re-scan the corpus per use)."""
-    from pyspark import StorageLevel
+    from otlp_wire_spark.cacheutil import persist_into
 
-    stats = (
-        staged.groupBy(F.col(strata_col).alias("_strat"))
-        .agg(*aggs)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    return persist_into(
+        staged.groupBy(F.col(strata_col).alias("_strat")).agg(*aggs),
+        _SAMPLE_CACHES,
+        eager=True,
     )
-    _SAMPLE_CACHES.append(stats)
-    stats.count()
-    return stats
+
+
+def _escalating_survivors(
+    staged: DataFrame,
+    stats: DataFrame,
+    strata_col: str,
+    thr_expr,
+    survivor_aggs: list,
+    short_cond: F.Column,
+    margin: float,
+    max_rounds: int,
+    observation: "object | None",
+) -> DataFrame:
+    """The samplers' SHARED hash-threshold escalation loop (the skew-safe
+    scale shape — one implementation so the exactness/verification logic
+    cannot diverge between samplers): filter to ``_hkey <=
+    thr_expr(margin)`` with the per-stratum threshold broadcast-joined in
+    (narrow, fully parallel), verify per stratum (``survivor_aggs`` over
+    the survivors, ``short_cond`` over the stats-joined counts), escalate
+    the margin ×4 up to ``max_rounds``, finally fall back to keep-all —
+    the exact path. Returns the survivor set the caller's final exact
+    window sorts; its volume is O(target), recorded as
+    ``window_input_rows`` when ``observation`` is passed (pinned by
+    tests). Each caller's docstring carries its exactness argument."""
+    m = float(margin)
+    surv = None
+    for rnd in range(max_rounds + 1):
+        thr = F.lit(_LONG_MAX) if rnd == max_rounds else thr_expr(m)
+        surv = staged.join(
+            F.broadcast(stats),
+            F.col(strata_col).eqNullSafe(F.col("_strat")),
+        ).where(F.col("_hkey") <= thr)
+        if rnd == max_rounds:
+            break
+        sc = surv.groupBy(F.col("_strat").alias("_strat2")).agg(*survivor_aggs)
+        short = (
+            stats.join(
+                sc, F.col("_strat").eqNullSafe(F.col("_strat2")), "left"
+            )
+            .where(short_cond)
+            .count()
+        )
+        if short == 0:
+            break
+        m *= 4.0
+    if observation is not None:
+        surv = surv.observe(
+            observation, F.count(F.lit(1)).alias("window_input_rows")
+        )
+    return surv
 
 
 def stratified_sample(
@@ -391,39 +430,18 @@ def stratified_sample(
         staged, strata_col, [F.count(F.lit(1)).alias("_n")]
     )
 
-    m = float(margin)
-    surv = None
-    for rnd in range(max_rounds + 1):
-        if rnd == max_rounds:
-            thr = F.lit(_LONG_MAX)  # exact fallback: keep every row
-        else:
-            thr = _hash_threshold(F.lit(m) * quota / F.col("_n"))
-        surv = staged.join(
-            F.broadcast(stats),
-            F.col(strata_col).eqNullSafe(F.col("_strat")),
-        ).where(F.col("_hkey") <= thr)
-        if rnd == max_rounds:
-            break
-        sc = surv.groupBy(F.col("_strat").alias("_strat2")).agg(
-            F.count(F.lit(1)).alias("_sn")
-        )
-        short = (
-            stats.join(
-                sc, F.col("_strat").eqNullSafe(F.col("_strat2")), "left"
-            )
-            .where(
-                F.coalesce(F.col("_sn"), F.lit(0))
-                < F.least(F.lit(quota), F.col("_n"))
-            )
-            .count()
-        )
-        if short == 0:
-            break
-        m *= 4.0
-    if observation is not None:
-        surv = surv.observe(
-            observation, F.count(F.lit(1)).alias("window_input_rows")
-        )
+    surv = _escalating_survivors(
+        staged,
+        stats,
+        strata_col,
+        lambda m: _hash_threshold(F.lit(m) * quota / F.col("_n")),
+        [F.count(F.lit(1)).alias("_sn")],
+        F.coalesce(F.col("_sn"), F.lit(0))
+        < F.least(F.lit(quota), F.col("_n")),
+        margin,
+        max_rounds,
+        observation,
+    )
     w = Window.partitionBy(strata_col).orderBy("_hkey", id_col)
     return (
         surv.withColumn("_rn", F.row_number().over(w))
@@ -479,42 +497,20 @@ def sample_by_token_budget(
         [F.count(F.lit(1)).alias("_n"), F.sum("_nt").alias("_tot")],
     )
 
-    m = float(margin)
-    surv = None
-    for rnd in range(max_rounds + 1):
-        if rnd == max_rounds:
-            thr = F.lit(_LONG_MAX)
-        else:
-            thr = F.when(F.col("_tot") <= 0, F.lit(_LONG_MAX)).otherwise(
-                _hash_threshold(F.lit(m) * budget / F.col("_tot"))
-            )
-        surv = staged.join(
-            F.broadcast(stats),
-            F.col(strata_col).eqNullSafe(F.col("_strat")),
-        ).where(F.col("_hkey") <= thr)
-        if rnd == max_rounds:
-            break
-        sc = surv.groupBy(F.col("_strat").alias("_strat2")).agg(
-            F.count(F.lit(1)).alias("_sn"),
-            F.sum("_nt").alias("_stok"),
-        )
-        short = (
-            stats.join(
-                sc, F.col("_strat").eqNullSafe(F.col("_strat2")), "left"
-            )
-            .where(
-                (F.coalesce(F.col("_stok"), F.lit(0)) < budget)
-                & (F.coalesce(F.col("_sn"), F.lit(0)) < F.col("_n"))
-            )
-            .count()
-        )
-        if short == 0:
-            break
-        m *= 4.0
-    if observation is not None:
-        surv = surv.observe(
-            observation, F.count(F.lit(1)).alias("window_input_rows")
-        )
+    surv = _escalating_survivors(
+        staged,
+        stats,
+        strata_col,
+        lambda m: F.when(F.col("_tot") <= 0, F.lit(_LONG_MAX)).otherwise(
+            _hash_threshold(F.lit(m) * budget / F.col("_tot"))
+        ),
+        [F.count(F.lit(1)).alias("_sn"), F.sum("_nt").alias("_stok")],
+        (F.coalesce(F.col("_stok"), F.lit(0)) < budget)
+        & (F.coalesce(F.col("_sn"), F.lit(0)) < F.col("_n")),
+        margin,
+        max_rounds,
+        observation,
+    )
     w = (
         Window.partitionBy(strata_col)
         .orderBy("_hkey", F.col(id_col))

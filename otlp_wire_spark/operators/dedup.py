@@ -705,27 +705,22 @@ def near_dup_pairs(
     if shingles is None:
         shingles = _shingled(df, id_col, text_col, n)
         if persist:
-            from pyspark import StorageLevel
+            from otlp_wire_spark.cacheutil import persist_into, retire_oldest
 
             # bounded cache generations: the internal side-table has no
             # caller-visible handle, so retire the PREVIOUS call's cache
-            # before creating a new one — a long-lived session (gate/bench
-            # loops) otherwise accumulates unreachable caches forever
-            prev = _LAST_PERSISTED_SHINGLES.pop() if _LAST_PERSISTED_SHINGLES else None
-            if prev is not None:
-                try:
-                    prev.unpersist()
-                except Exception:  # noqa: BLE001 — session may be gone
-                    prev = None
-            shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
-            _LAST_PERSISTED_SHINGLES.append(shingles)
-            # materialize EAGERLY: the sig stage and the two verify-join map
-            # stages have no mutual dependency, so Spark submits them
-            # concurrently — racing tasks would each compute the uncached
-            # partitions, silently re-running the tokenize+shingle scan the
-            # persist exists to avoid. One up-front job pins exactly one
-            # evaluation (tests/test_near_dup_scan.py counts it).
-            shingles.count()
+            # before creating a new one (keep=0: both downstream passes
+            # execute inside THIS call, so the previous generation is
+            # never still useful — see the LAZY-CONSUMPTION HAZARD above
+            # for the one exception, which the shingles= path solves).
+            # eager=True: the sig stage and the two verify-join map stages
+            # have no mutual dependency, so Spark submits them
+            # concurrently — racing tasks would otherwise re-run the
+            # tokenize+shingle scan (tests/test_near_dup_scan.py).
+            retire_oldest(_LAST_PERSISTED_SHINGLES, keep=0)
+            shingles = persist_into(
+                shingles, _LAST_PERSISTED_SHINGLES, eager=True
+            )
     cand = minhash_lsh_candidates(
         df, id_col, text_col, k, bands, n, bucket_cap, observation, impl,
         shingles=shingles,

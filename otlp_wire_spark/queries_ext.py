@@ -717,11 +717,9 @@ _PIPE_CACHES: list = []
 
 
 def _retire_pipe_caches() -> None:
-    while _PIPE_CACHES:
-        try:
-            _PIPE_CACHES.pop().unpersist()
-        except Exception:  # noqa: BLE001 — session may be gone
-            pass
+    from otlp_wire_spark.cacheutil import retire_oldest
+
+    retire_oldest(_PIPE_CACHES, keep=0)
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,7 +731,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_wire_spark.operators.pack import pack_sequences
     from otlp_wire_spark.operators.textstats import tokens_norm_col
 
-    from pyspark import StorageLevel
+    from otlp_wire_spark.cacheutil import persist_into
 
     docs = _t(spark, sf_dir, "documents")
     # 1. curate: score (narrow scan) → filter → exact dedup keep-rows.
@@ -742,10 +740,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    without a cache each action re-runs the full scoring+dedup chain
     #    (measured 2.5× end-to-end cost at sf0.1).
     _retire_pipe_caches()
-    kept = curate(docs, langs=("en",), min_quality=0.3, min_tokens=3).persist(
-        StorageLevel.MEMORY_AND_DISK
+    kept = persist_into(
+        curate(docs, langs=("en",), min_quality=0.3, min_tokens=3), _PIPE_CACHES
     )
-    _PIPE_CACHES.append(kept)
     # 2. near-dup removal on the survivors — single-scan LSH→verify, then
     #    drop the HIGHER id of every verified pair (min-id representative
     #    survives, consistent with the exact-dedup convention)
@@ -767,12 +764,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    PERSISTED + materialized: global_token_offsets runs three driver
     #    actions (bucket-boundary quantiles, per-bucket sums, the window
     #    pass) — each would otherwise recompute stages 1-4 from scratch.
-    counted = clean.select(
-        "doc_id",
-        F.size(tokens_norm_col(F.col("clean_text"))).alias("n_tokens"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _PIPE_CACHES.append(counted)
-    counted.count()
+    counted = persist_into(
+        clean.select(
+            "doc_id",
+            F.size(tokens_norm_col(F.col("clean_text"))).alias("n_tokens"),
+        ),
+        _PIPE_CACHES,
+        eager=True,
+    )
     return pack_sequences(counted, seq_len=_PIPE_SEQ_LEN).orderBy(
         "seq_id", "doc_id"
     )
@@ -892,7 +891,7 @@ _INCR_SPLIT_ID = 250
 
 
 def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
+    from otlp_wire_spark.cacheutil import persist_into
 
     from otlp_wire_spark.operators.curate import (
         curate,
@@ -908,10 +907,9 @@ def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (near-dup stage INPUT — tombstone contract) persisted once, because
     # fingerprints and shingles both read it
     _retire_pipe_caches()
-    existing = curate(old, langs=("en",), min_quality=0.3, min_tokens=3).persist(
-        StorageLevel.MEMORY_AND_DISK
+    existing = persist_into(
+        curate(old, langs=("en",), min_quality=0.3, min_tokens=3), _PIPE_CACHES
     )
-    _PIPE_CACHES.append(existing)
     fps, ex_sh = curation_index(existing)
     out = incremental_curate(
         new, fps, ex_sh,

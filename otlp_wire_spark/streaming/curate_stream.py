@@ -54,11 +54,31 @@ def _dir_has_data(spark: SparkSession, path: str) -> bool:
     """Existence probe through the Hadoop FileSystem API — ``os.path``
     only sees the driver-local filesystem, and the 100 TB ingest shape
     implies HDFS/S3 paths where a local check silently reports 'no index'
-    and the stream would re-admit duplicates of the whole seeded corpus."""
+    and the stream would re-admit duplicates of the whole seeded corpus.
+
+    True only if at least one COMMITTED data file exists under ``path`` —
+    hidden entries (``_temporary``, ``_SUCCESS``, dotfiles) don't count.
+    A first-epoch attempt killed mid index write leaves only
+    ``epoch=0/_temporary/`` task files; counting those as data would make
+    the retry's parquet read fail schema inference (no committed footers)
+    on every attempt — the exact wedge the epoch-exclusion retry contract
+    exists to prevent."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(p)) and len(fs.listStatus(p)) > 0
+    if not fs.exists(p):
+        return False
+    root = fs.getFileStatus(p).getPath().toUri().getPath()
+    it = fs.listFiles(p, True)  # recursive; files only
+    while it.hasNext():
+        f = it.next().getPath().toUri().getPath()
+        rel = f[len(root):].lstrip("/")
+        # any hidden path segment (Spark/Hadoop convention) ⇒ uncommitted
+        # or metadata-only — skip
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        return True
+    return False
 
 
 def _read_index(

@@ -140,3 +140,41 @@ def test_epoch_retry_after_partial_index_write_is_idempotent(
     assert {r.epoch for r in fps.select("epoch").distinct().collect()} == {
         "seed", "0"
     }
+
+
+def test_first_epoch_retry_after_mid_write_crash_unseeded(
+    spark, tmp_path_factory
+):
+    """The OTHER crash window: an UNSEEDED stream's very first epoch dies
+    mid index write — only uncommitted ``_temporary/`` task files exist
+    under ``epoch=0``. The retry's index probe must treat that as 'no
+    index yet' (hidden entries are not committed data); counting them
+    would send spark.read.parquet into an un-inferable directory and
+    raise on every retry, permanently wedging the stream."""
+    _, new_rows = _corpus()
+    index_dir = str(tmp_path_factory.mktemp("mw_idx"))
+    admitted_dir = str(tmp_path_factory.mktemp("mw_adm"))
+
+    # simulate the killed attempt: uncommitted task files only
+    for sub in ("fingerprints", "shingles"):
+        tmp = os.path.join(
+            index_dir, sub, "epoch=0", "_temporary", "0", "task_0"
+        )
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "part-00000.parquet"), "wb") as f:
+            f.write(b"\x00not a committed footer")
+
+    from otlp_wire_spark.streaming.curate_stream import _read_index
+
+    fps, sh = _read_index(spark, index_dir)
+    assert fps.count() == 0 and sh.count() == 0  # typed empties, no raise
+
+    # the retry itself admits normally against the empty index
+    batch = spark.createDataFrame(new_rows, _SCHEMA)
+    admit_epoch(batch, 0, index_dir, admitted_dir, bucket_cap=10_000_000)
+    admitted = spark.read.parquet(os.path.join(admitted_dir, "epoch=0"))
+    assert admitted.count() > 0
+
+    # and once committed data exists, the probe sees it again
+    fps2, _ = _read_index(spark, index_dir)
+    assert fps2.count() > 0

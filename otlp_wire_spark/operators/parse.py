@@ -146,7 +146,11 @@ def _decode_batch(s: pd.Series) -> tuple[pd.Series, pd.Series]:
         pass
     try:
         dec = s.str.decode("utf-8", errors="replace")
-        suspicious = dec.str.contains("�", regex=False).fillna(False)
+        # explicit bool cast: fillna on the object-dtype contains() result
+        # downcasts implicitly today and is deprecated (pandas FutureWarning)
+        suspicious = (
+            dec.str.contains("�", regex=False).astype(object).eq(True)
+        )
     except (TypeError, AttributeError):
         # non-bytes objects in the series — full per-row fallback
         dec = pd.Series([None] * len(s), index=s.index, dtype=object)

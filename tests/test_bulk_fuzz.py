@@ -1,0 +1,156 @@
+"""Seeded bulk differential fuzz — one Spark job per comparison instead
+of hypothesis's one-job-per-example, so thousands of adversarial inputs
+are affordable in-suite. Two surfaces:
+
+- parse: expr vs arrow byte-parity over mixed ascii-junk / raw-bytes /
+  mutated near-valid pages (one-off 100k-payload run was clean; this
+  pins a 6k slice with the same generators and seed family).
+- kernels: simhash16 / minhash signature / rolling fingerprint expr vs
+  Arrow-numpy twins over random unicode spanning CJK, emoji, accents,
+  pathological whitespace, repeats, and nulls (one-off 50k run clean;
+  5k pinned here).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+
+from otlp_wire_spark.operators import dedup, textstats
+from otlp_wire_spark.operators.parse import parse_pages
+
+PARSED_COLS = [
+    "parsed.severity", "parsed.severity_text", "parsed.attrs",
+    "parsed.record_count", "parsed.extracted_text",
+    "parsed.trace_id", "parsed.trace_error",
+    "parsed.ref_type", "parsed.ref_id", "parsed.ref_error",
+    "parsed.nest_depth", "parsed.nest_error",
+    "parsed.parse_error",
+]
+
+_ALPHABET = list("abcdefghij <>=;:,/kv&%$#@!()[]{}\n\tseverity_trcpdf0123456789")
+_MARKERS = [
+    b"severity=", b"severity_text=", b"kv:", b"trace_id=", b"ref:",
+    b"depth:", b"<rec>", b"</rec>", b"<p>", b"</p>", b";", b"=",
+    b"<html><body>", b"</body></html>",
+]
+
+
+def _payloads(rng: random.Random, n: int) -> list[tuple[int, bytes | None]]:
+    def ascii_junk() -> bytes:
+        m = rng.randrange(0, 220)
+        return "".join(rng.choice(_ALPHABET) for _ in range(m)).encode()
+
+    def raw_bytes() -> bytes:
+        return bytes(rng.randrange(256) for _ in range(rng.randrange(0, 160)))
+
+    def near_valid() -> bytes:
+        parts = [b"<html><body>"]
+        for _ in range(rng.randrange(0, 8)):
+            parts.append(rng.choice(_MARKERS))
+            if rng.random() < 0.7:
+                parts.append(
+                    "".join(
+                        rng.choice(_ALPHABET) for _ in range(rng.randrange(0, 30))
+                    ).encode()
+                )
+            if rng.random() < 0.6:
+                parts.append(b";")
+        if rng.random() < 0.8:
+            parts.append(b"</body></html>")
+        page = b"".join(parts)
+        r = rng.random()
+        if r < 0.2 and page:  # truncate
+            page = page[: rng.randrange(len(page))]
+        elif r < 0.3 and page:  # duplicate a slice
+            i = rng.randrange(len(page))
+            j = rng.randrange(i, min(len(page), i + 20))
+            page = page[:i] + page[i:j] * 2 + page[j:]
+        elif r < 0.4 and page:  # flip a byte
+            i = rng.randrange(len(page))
+            page = page[:i] + bytes([rng.randrange(256)]) + page[i + 1 :]
+        return page
+
+    rows: list[tuple[int, bytes | None]] = []
+    for i in range(n):
+        r = rng.random()
+        p: bytes | None
+        if r < 0.35:
+            p = ascii_junk()
+        elif r < 0.55:
+            p = raw_bytes()
+        else:
+            p = near_valid()
+        if rng.random() < 0.01:
+            p = None
+        rows.append((i, p))
+    return rows
+
+
+def test_parse_impl_parity_bulk(spark):
+    rows = _payloads(random.Random(0xC0FFEE), 6000)
+    df = spark.createDataFrame(rows, "id long, html binary").repartition(8)
+    a = parse_pages(df, impl="expr").select("id", *PARSED_COLS)
+    b = parse_pages(df, impl="arrow").select("id", *PARSED_COLS)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+_WS = "\t\x0b\x0c\r\n    "
+_POOLS = [
+    "abcdefghijklmnopqrstuvwxyz",
+    "ABCDEFXYZ0123456789",
+    "àéîõüçñßæøå",
+    "中文漢字平仮名カタカナ한글",
+    "😀🚀🎉✨",
+    ".,;:!?()[]{}<>\"'`~@#$%^&*-_=+|/\\",
+    _WS,
+]
+
+
+def _texts(rng: random.Random, n: int) -> list[tuple[int, str | None]]:
+    def rand_text() -> str:
+        r = rng.random()
+        if r < 0.1:
+            return " ".join(f"w{rng.randrange(40)}" for _ in range(rng.randrange(0, 30)))
+        if r < 0.2:
+            tok = "".join(rng.choice(_POOLS[0]) for _ in range(rng.randrange(1, 5)))
+            return (tok + rng.choice(" \t")) * rng.randrange(1, 60)
+        return "".join(
+            rng.choice(_POOLS[rng.randrange(len(_POOLS))])
+            for _ in range(rng.randrange(0, 300))
+        )
+
+    return [
+        (i, None if rng.random() < 0.01 else rand_text()) for i in range(n)
+    ]
+
+
+def test_kernel_impl_parity_bulk(spark):
+    rows = _texts(random.Random(0xFEEDBEE5), 5000)
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    df = df.persist()
+    try:
+        df.count()
+        pairs = {
+            "simhash16": (
+                dedup.simhash16_col(F.col("text")),
+                dedup.simhash16_arrow_col(F.col("text")),
+            ),
+            "minhash": (
+                dedup.minhash_signature_col(F.col("text"), 16, 3),
+                dedup.minhash_signature_arrow_col(F.col("text"), 16, 3),
+            ),
+            "rollfp": (
+                textstats.rolling_fingerprint_col(F.col("text"), 8),
+                textstats.rolling_fingerprint_arrow_col(F.col("text"), 8),
+            ),
+        }
+        for name, (ex, ar) in pairs.items():
+            a = df.select("doc_id", ex.alias("v"))
+            b = df.select("doc_id", ar.alias("v"))
+            assert a.exceptAll(b).count() == 0, name
+            assert b.exceptAll(a).count() == 0, name
+    finally:
+        df.unpersist()

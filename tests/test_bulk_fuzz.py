@@ -127,6 +127,42 @@ def _texts(rng: random.Random, n: int) -> list[tuple[int, str | None]]:
     ]
 
 
+def test_fnv_impl_parity_bulk(spark):
+    """JVM fold vs Arrow-numpy vs pure-Python FNV-64a + shard assignment
+    on random unicode incl. NUL/DEL/emoji/CJK (one-off 100k run clean)."""
+    from otlp_wire_spark.functions import fnv
+
+    rng = random.Random(0xABCD)
+    pools = [
+        "abcdefghijklmnopqrstuvwxyzABC0123456789-_./:",
+        "àéîõüçñß", "中文漢字한글", "😀🚀", "\t\r\n \x00\x7f",
+    ]
+    rows = [
+        (
+            i,
+            "".join(
+                rng.choice(pools[rng.randrange(len(pools))])
+                for _ in range(rng.randrange(0, 120))
+            ),
+        )
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string").repartition(8)
+    a = df.select("id", fnv.fnv64a_expr("s").alias("h"))
+    b = df.select("id", fnv.fnv64a_col("s").alias("h"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    sa = df.select("id", fnv.shard_expr("s", 7).alias("k"))
+    sb = df.select("id", fnv.shard_col("s", 7).alias("k"))
+    assert sa.exceptAll(sb).count() == 0
+    assert sb.exceptAll(sa).count() == 0
+    sub = {r["id"]: r["h"] for r in a.where(a.id % 20 == 0).collect()}
+    for i, h in sub.items():
+        exp = fnv.fnv64a(rows[i][1].encode())
+        signed = exp - (1 << 64) if exp >= (1 << 63) else exp
+        assert h == signed, (i, rows[i][1])
+
+
 def test_kernel_impl_parity_bulk(spark):
     rows = _texts(random.Random(0xFEEDBEE5), 5000)
     df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)

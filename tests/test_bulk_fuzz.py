@@ -163,6 +163,39 @@ def test_fnv_impl_parity_bulk(spark):
         assert h == signed, (i, rows[i][1])
 
 
+def test_fnv_sql_mirrors_bulk():
+    """The two DuckDB mirrors vs pure Python, bulk: FNV_SQL on 5k random
+    ASCII strings (code-point fold == byte fold there) and FNV_BYTES_SQL
+    on 5k random byte blobs via uppercase hex (one-off 20k+20k clean)."""
+    import duckdb
+
+    from otlp_wire_spark.functions.fnv import fnv64a
+    from otlp_wire_spark.queries import FNV_BYTES_SQL, FNV_SQL
+
+    rng = random.Random(0x5EED)
+    ascii_pool = "".join(chr(c) for c in range(32, 127))
+    strs = [
+        "".join(rng.choice(ascii_pool) for _ in range(rng.randrange(0, 100)))
+        for _ in range(5000)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (SELECT unnest(?) AS s)", [strs])
+    rows = con.execute(f"SELECT s, {FNV_SQL.format(col='s')} FROM t").fetchall()
+    assert all(int(h) == fnv64a(s.encode()) for s, h in rows)
+
+    blobs = [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(0, 80)))
+        for _ in range(5000)
+    ]
+    hexes = [b.hex().upper() for b in blobs]
+    con.execute("CREATE TABLE b AS SELECT * FROM (SELECT unnest(?) AS hx)", [hexes])
+    hmap = dict(
+        con.execute(f"SELECT hx, {FNV_BYTES_SQL.format(hx='hx')} FROM b").fetchall()
+    )
+    assert all(int(hmap[b.hex().upper()]) == fnv64a(b) for b in blobs)
+    con.close()
+
+
 def test_kernel_impl_parity_bulk(spark):
     rows = _texts(random.Random(0xFEEDBEE5), 5000)
     df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)

@@ -223,3 +223,46 @@ def test_kernel_impl_parity_bulk(spark):
             assert b.exceptAll(a).count() == 0, name
     finally:
         df.unpersist()
+
+
+def test_dedup_clusters_random_graph_matches_union_find(spark):
+    """Randomized differential for the distributed min-label propagation:
+    300 nodes, random sparse edges + a dense pocket + duplicate and
+    reversed edges + self-loops, vs a sequential union-find with
+    min-label representatives."""
+    rng = random.Random(0xC1C1)
+    edges = set()
+    for _ in range(260):  # sparse random
+        a, b = rng.randrange(300), rng.randrange(300)
+        edges.add((a, b))
+    for _ in range(80):  # dense pocket over nodes 0-19
+        edges.add((rng.randrange(20), rng.randrange(20)))
+    edge_list = list(edges)
+    edge_list += [(b, a) for a, b in edge_list[:40]]  # reversed dups
+    edge_list += edge_list[:30]  # exact dups
+
+    parent = list(range(300))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {v for e in edge_list for v in e}
+    # min-label representative per component, restricted to touched nodes
+    comp: dict[int, int] = {}
+    for v in nodes:
+        r = find(v)
+        comp[r] = min(comp.get(r, v), v)
+    want = {v: comp[find(v)] for v in nodes}
+
+    from otlp_wire_spark.operators import dedup
+
+    df = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    got = {r.id: r.rep for r in dedup.dedup_clusters(df).collect()}
+    assert got == want

@@ -266,3 +266,37 @@ def test_dedup_clusters_random_graph_matches_union_find(spark):
     df = spark.createDataFrame(edge_list, "id_a long, id_b long")
     got = {r.id: r.rep for r in dedup.dedup_clusters(df).collect()}
     assert got == want
+
+
+def test_stratified_sample_random_matches_sequential(spark):
+    """Randomized differential for the hash-threshold sampler: random
+    docs with duplicate texts (hash ties), null texts, and a null
+    stratum, vs the sequential reference (per-stratum sort by signed
+    fnv64a(text), doc_id; take quota)."""
+    import numpy as np
+
+    from otlp_wire_spark.functions.fnv import fnv64a
+    from otlp_wire_spark.operators.curate import stratified_sample
+
+    rng = random.Random(0x57A7)
+    texts = [f"doc body {i} with words w{i % 7}" for i in range(40)]
+    rows = []
+    for i in range(200):
+        t = None if rng.random() < 0.03 else rng.choice(texts)
+        s = rng.choice(["a", "b", "c", None])
+        rows.append((i, t, s))
+    df = spark.createDataFrame(rows, "doc_id long, text string, stratum string")
+    quota = 3
+    got = sorted(
+        (r.doc_id for r in stratified_sample(df, "stratum", quota).collect())
+    )
+
+    def key(row):
+        h = fnv64a((row[1] or "").encode())
+        return (np.uint64(h).astype(np.int64), row[0])
+
+    want = []
+    for s in {"a", "b", "c", None}:
+        members = sorted((r for r in rows if r[2] == s), key=key)
+        want.extend(r[0] for r in members[:quota])
+    assert got == sorted(want)

@@ -523,32 +523,71 @@ def jaccard_pairs(
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 16,
-    bands: int = 4,
-    n: int = 3,
+def _band_rows_from_sig(sigd: DataFrame, bands: int, r: int) -> DataFrame:
+    """(id, band, band_sig) LSH band rows from an (id, sig) signature table.
+
+    Staged projections so each expensive array (sig → band keys) is
+    computed ONCE per row, never inlined per downstream reference — and
+    the Generate (explode) input stays a trivial struct-of-columns array:
+    feeding the signature expression directly into a generator drops the
+    stage out of WholeStageCodegen into interpreted eval (~30× slower,
+    measured at sf0.1)."""
+    withband = sigd.select(
+        "id",
+        *[
+            F.array_join(F.slice(F.col("sig"), i * r + 1, r), "_").alias(f"_b{i}")
+            for i in range(bands)
+        ],
+    )
+    return withband.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"_b{i}").alias("band_sig")
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select("id", F.col("_bb.band").alias("band"), F.col("_bb.band_sig").alias("band_sig"))
+
+
+def band_table_from_shingles(
+    shingles: DataFrame, k: int = 16, bands: int = 4, impl: str = "expr"
+) -> DataFrame:
+    """The ``(id, band, band_sig)`` LSH band side-table of an ``(id, sh)``
+    shingle table — the unit of LSH state an INDEX stores (curate.
+    curation_index): derive it once per document at admission time, and a
+    later incremental batch finds corpus bucket-mates with a plain hash
+    join on ``(band, band_sig)`` instead of recomputing every corpus
+    signature. Deterministic function of the shingle arrays (same k/bands/
+    impl ⇒ byte-identical band_sig strings; expr and arrow impls are
+    parity-pinned), so rows written at index time equal rows an LSH pass
+    would recompute."""
+    if impl == "arrow":
+        sigd = shingles.select(
+            "id", minhash_sig_arrow_from_shingles(F.col("sh"), k).alias("sig")
+        )
+    else:
+        hashed = shingles.select(
+            "id", shingle_hashes_from(F.col("sh")).alias("_hs")
+        )
+        sigd = hashed.select(
+            "id", minhash_sig_from_hashes(F.col("_hs"), k).alias("sig")
+        )
+    return _band_rows_from_sig(sigd, bands, k // bands)
+
+
+def lsh_pairs_from_bands(
+    banded: DataFrame,
     bucket_cap: int = 1000,
     observation: "object | None" = None,
-    impl: str = "expr",
-    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs: split the k-row signature into ``bands`` bands,
-    bucket by (band_idx, band_signature), emit pairs sharing ≥1 bucket.
-
-    ``impl='arrow'`` computes the signature with the vectorized numpy
-    kernel (minhash_signature_arrow_col); 'expr' stays pure JVM. Measured
-    ~even at sf0.1 scale (BENCH/KERNELS.md). Both are bit-identical
-    (tests/test_ops.py) — banding/capping/pair generation are shared.
-
-    ``shingles`` (optional): a pre-materialized ``(id, sh)`` DataFrame (the
-    shape ``shingle_table`` returns). When given, the signature derives
-    from those arrays instead of re-tokenizing ``df`` — the hook that lets
-    ``near_dup_pairs`` pay the dominant tokenize+shingle scan ONCE for the
-    candidate and verify passes (persist it; two DataFrame references alone
-    are lineage recomputes, not a cache).
+    """Candidate pairs from an ``(id, band, band_sig)`` band-row table —
+    the shared tail of every LSH path (full-corpus, single-scan, and the
+    incremental band-index join).
 
     Scale path: rows are capped to the ``bucket_cap`` lowest ids per bucket
     BEFORE any aggregation — a window ``row_number() <= cap`` over
@@ -568,57 +607,6 @@ def minhash_lsh_candidates(
     """
     from pyspark.sql import Window
 
-    r = k // bands
-    # staged projections so each expensive array (_hs → sig → band keys) is
-    # computed ONCE per row, never inlined per downstream reference — and
-    # the Generate (explode) input stays a trivial struct-of-columns array:
-    # feeding the signature expression directly into a generator drops the
-    # stage out of WholeStageCodegen into interpreted eval (~30× slower,
-    # measured at sf0.1)
-    if shingles is not None:
-        if impl == "arrow":
-            sigd = shingles.select(
-                "id", minhash_sig_arrow_from_shingles(F.col("sh"), k).alias("sig")
-            )
-        else:
-            hashed = shingles.select(
-                "id", shingle_hashes_from(F.col("sh")).alias("_hs")
-            )
-            sigd = hashed.select(
-                "id", minhash_sig_from_hashes(F.col("_hs"), k).alias("sig")
-            )
-    elif impl == "arrow":
-        sigd = df.select(
-            F.col(id_col).alias("id"),
-            minhash_signature_arrow_col(F.col(text_col), k, n).alias("sig"),
-        )
-    else:
-        hashed = _shingled(df, id_col, text_col, n).select(
-            "id", shingle_hashes_from(F.col("sh")).alias("_hs")
-        )
-        sigd = hashed.select(
-            "id", minhash_sig_from_hashes(F.col("_hs"), k).alias("sig")
-        )
-    withband = sigd.select(
-        "id",
-        *[
-            F.array_join(F.slice(F.col("sig"), i * r + 1, r), "_").alias(f"_b{i}")
-            for i in range(bands)
-        ],
-    )
-    banded = withband.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"), F.col(f"_b{i}").alias("band_sig")
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("_bb"),
-    ).select("id", F.col("_bb.band").alias("band"), F.col("_bb.band_sig").alias("band_sig"))
     w = Window.partitionBy("band", "band_sig").orderBy("id")
     ranked = banded.withColumn("_rn", F.row_number().over(w))
     if observation is not None:
@@ -650,6 +638,55 @@ def minhash_lsh_candidates(
         ).alias("p")
     ).select("p.id_a", "p.id_b").distinct()
     return pairs
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    bucket_cap: int = 1000,
+    observation: "object | None" = None,
+    impl: str = "expr",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: split the k-row signature into ``bands`` bands,
+    bucket by (band_idx, band_signature), emit pairs sharing ≥1 bucket.
+
+    ``impl='arrow'`` computes the signature with the vectorized numpy
+    kernel (minhash_signature_arrow_col); 'expr' stays pure JVM. Measured
+    ~even at sf0.1 scale (BENCH/KERNELS.md). Both are bit-identical
+    (tests/test_ops.py) — banding/capping/pair generation are shared
+    (band_table_from_shingles / lsh_pairs_from_bands).
+
+    ``shingles`` (optional): a pre-materialized ``(id, sh)`` DataFrame (the
+    shape ``shingle_table`` returns). When given, the signature derives
+    from those arrays instead of re-tokenizing ``df`` — the hook that lets
+    ``near_dup_pairs`` pay the dominant tokenize+shingle scan ONCE for the
+    candidate and verify passes (persist it; two DataFrame references alone
+    are lineage recomputes, not a cache).
+
+    Scale/truncation notes: see ``lsh_pairs_from_bands``.
+    """
+    if shingles is not None:
+        banded = band_table_from_shingles(shingles, k, bands, impl)
+    elif impl == "arrow":
+        sigd = df.select(
+            F.col(id_col).alias("id"),
+            minhash_signature_arrow_col(F.col(text_col), k, n).alias("sig"),
+        )
+        banded = _band_rows_from_sig(sigd, bands, k // bands)
+    else:
+        hashed = _shingled(df, id_col, text_col, n).select(
+            "id", shingle_hashes_from(F.col("sh")).alias("_hs")
+        )
+        sigd = hashed.select(
+            "id", minhash_sig_from_hashes(F.col("_hs"), k).alias("sig")
+        )
+        banded = _band_rows_from_sig(sigd, bands, k // bands)
+    return lsh_pairs_from_bands(banded, bucket_cap, observation)
 
 
 def shingle_table(

@@ -115,18 +115,37 @@ _INCR_CACHES: list = []
 
 
 def curation_index(
-    curated: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
-) -> tuple[DataFrame, DataFrame]:
-    """The two side-tables a later ``incremental_curate`` batch needs,
+    curated: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    impl: str = "expr",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three side-tables a later ``incremental_curate`` batch needs,
     derived from the EXACT-curated corpus (the near-dup stage INPUT —
     including docs a near-dup pass later drops; see incremental_curate's
-    tombstone note): ``(fingerprints, shingles)``. Persist both (parquet /
-    bucketed table) — they are the whole state of the corpus the
-    incremental path ever touches."""
-    from otlp_wire_spark.operators.dedup import shingle_table
+    tombstone note): ``(fingerprints, shingles, band_table)``. Persist all
+    three (parquet / bucketed tables) — they are the whole state of the
+    corpus the incremental path ever touches.
+
+    ``band_table`` is the ``(id, band, band_sig)`` LSH banded-signature
+    table (dedup.band_table_from_shingles): storing it is what makes
+    incremental admission O(|new|) — a later batch hash-joins its own
+    band rows against it to find corpus bucket-mates instead of
+    recomputing every corpus MinHash signature per batch. ``k``/``bands``/
+    ``impl`` must match the values later passed to ``incremental_curate``
+    (band_sig is a deterministic function of the shingle arrays given
+    those parameters; expr and arrow impls are parity-pinned)."""
+    from otlp_wire_spark.operators.dedup import (
+        band_table_from_shingles,
+        shingle_table,
+    )
 
     fps = curated.select(F.md5(F.col(text_col)).alias("fp")).distinct()
-    return fps, shingle_table(curated, id_col, text_col, n)
+    sh = shingle_table(curated, id_col, text_col, n)
+    return fps, sh, band_table_from_shingles(sh, k, bands, impl)
 
 
 def incremental_curate(
@@ -146,24 +165,37 @@ def incremental_curate(
     impl: str = "expr",
     validate_ids: bool = True,
     with_index_additions: bool = False,
-) -> "DataFrame | tuple[DataFrame, DataFrame, DataFrame]":
+    existing_bands: DataFrame | None = None,
+    observation: "object | None" = None,
+) -> "DataFrame | tuple[DataFrame, DataFrame, DataFrame, DataFrame]":
     """Admit a NEW batch of documents into an already-curated corpus
     without re-curating the corpus — the only affordable shape when the
     corpus is 100 TB and the batch is 1 TB. Returns the admitted new rows
     (with score columns), leaving the existing corpus untouched.
 
-    The existing corpus is consumed ONLY through two narrow side-tables
+    The existing corpus is consumed ONLY through narrow side-tables
     (build them with ``curation_index`` at batch time and keep them as
     parquet/bucketed tables):
 
     - ``existing_fingerprints``: one ``fp`` column, md5 of every
       exact-curated text;
     - ``existing_shingles``: the ``(id, sh)`` shingle table of the same
-      docs. TOMBSTONE CONTRACT: both must cover the exact-curated set
+      docs. TOMBSTONE CONTRACT: the index must cover the exact-curated set
       BEFORE near-dup removal — a doc dropped as a near-dup stays in the
       index, otherwise a new doc that is a near-dup of the dropped doc
       (but not of its kept representative) would be admitted where a full
       re-curation would reject it.
+    - ``existing_bands``: the ``(id, band, band_sig)`` LSH banded-signature
+      table of the same docs (curation_index's third return; same
+      k/bands/impl). THIS is what makes admission O(|new|): MinHash
+      signatures are computed for the NEW batch only and its band rows
+      hash-join the stored table to find corpus bucket-mates — the corpus
+      side is one narrow band-index scan filtered by the (broadcast, tiny)
+      set of new bucket keys, shuffling only matched buckets. When
+      ``None``, the band table is derived here from ``existing_shingles``:
+      same results, but that recomputes every corpus signature — an
+      O(corpus-index) per-batch cost you should only accept for one-off
+      calls without a maintained index.
 
     Batch-equivalence invariant (pinned by tests and the SQL oracle):
     under append-only ids (every new id > every existing id; checked when
@@ -171,16 +203,26 @@ def incremental_curate(
     pipeline over old ∪ new, restricted to new ids``. Steps: (1) curate()
     the new batch (score-filter + exact dedup among new); (2) anti-join
     md5(text) against existing fingerprints (new-vs-corpus exact dups);
-    (3) LSH over the UNION shingle table, candidates restricted to pairs
-    whose higher member is new, exact-Jaccard verify, drop those higher
-    members. The union table is persisted + eagerly materialized
-    (concurrent candidate/verify stages would race a cold cache); the
-    corpus text is NEVER re-read — per-batch cost is O(|new|) plus the
-    narrow index scans.
-    """
+    (3) LSH candidates restricted to pairs whose higher member is new,
+    exact-Jaccard verify, drop those higher members. Candidate
+    equivalence to a full union-table LSH pass holds because (a) append-
+    only ids mean every candidate's higher member lives in a bucket that
+    contains a new id, and (b) a matched bucket's membership — hence its
+    ``bucket_cap`` truncation window — is identical whether or not the
+    unmatched (old-only) buckets are materialized alongside it. The
+    Jaccard verify reads shingle arrays only for ids that appear in a
+    candidate pair (broadcast semi-join pushdown into the shingle index).
+    The corpus TEXT is never re-read; with ``existing_bands`` the
+    per-batch cost is O(|new|) plus those narrow index scans.
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to record
+    ``sig_rows`` — the number of band rows whose MinHash signature this
+    call actually computed (== |exact-admitted new| × bands when the band
+    index is supplied; an O(|new|) pin, tested)."""
     from otlp_wire_spark.cacheutil import persist_into, retire_oldest
     from otlp_wire_spark.operators.dedup import (
-        minhash_lsh_candidates,
+        band_table_from_shingles,
+        lsh_pairs_from_bands,
         shingle_table,
     )
 
@@ -214,22 +256,63 @@ def incremental_curate(
         _INCR_CACHES,
     )
 
-    # (3) near-dup vs corpus AND within the batch, one LSH over the union
-    # eager: see near_dup_pairs race note
-    union_sh = persist_into(
-        existing_shingles.select("id", "sh")
-        .unionByName(shingle_table(fresh, id_col, text_col, n).select("id", "sh")),
+    # (3) near-dup vs corpus AND within the batch. The batch's shingle
+    # table is the O(|new|) cache every downstream consumer reads (band
+    # rows ×2 refs, the verify sh_b side, the index additions); eager —
+    # concurrent candidate/verify stages would race a cold cache and
+    # re-run the tokenize+shingle scan (near_dup_pairs race note).
+    fresh_sh = persist_into(
+        shingle_table(fresh, id_col, text_col, n).select("id", "sh"),
         _INCR_CACHES,
         eager=True,
     )
+    new_bands = band_table_from_shingles(fresh_sh, k, bands, impl)
+    if observation is not None:
+        # sig_rows = band rows whose signature THIS call computed. Fires
+        # during the eager materialization below, before the cached table
+        # fans out — the O(|new|) volume pin.
+        new_bands = new_bands.observe(
+            observation, F.count(F.lit(1)).alias("sig_rows")
+        )
+    new_bands = persist_into(new_bands, _INCR_CACHES, eager=True)
 
-    cand = minhash_lsh_candidates(
-        fresh, id_col, text_col, k, bands, n, bucket_cap, None, impl,
-        shingles=union_sh,
+    if existing_bands is None:
+        # no maintained band index: recompute corpus signatures from the
+        # shingle index (O(corpus-index) — see docstring)
+        existing_bands = band_table_from_shingles(
+            existing_shingles.select("id", "sh"), k, bands, impl
+        )
+    # corpus bucket-mates: narrow band-index scan filtered by the batch's
+    # bucket keys (tiny — ≤ |new|·bands rows, broadcast); only matched
+    # buckets ever shuffle. Old-only buckets can't contribute a candidate
+    # whose higher member is new, so skipping them is exact.
+    new_keys = new_bands.select("band", "band_sig").distinct()
+    matched_old = existing_bands.select("id", "band", "band_sig").join(
+        F.broadcast(new_keys), ["band", "band_sig"], "left_semi"
+    )
+    cand = lsh_pairs_from_bands(
+        matched_old.unionByName(new_bands.select("id", "band", "band_sig")),
+        bucket_cap,
+        None,
     )
     new_ids = fresh.select(F.col(id_col).alias("id_b"))
-    cand_new = cand.join(new_ids, "id_b", "left_semi")
-    sh = union_sh.where(F.size("sh") > 0)
+    # persisted: referenced by the verify probe AND (via broadcast) the
+    # shingle-index pushdown below — lazy, the candidate join would run 2×
+    cand_new = persist_into(
+        cand.join(new_ids, "id_b", "left_semi"), _INCR_CACHES, eager=True
+    )
+    # Jaccard verify reads shingle arrays ONLY for candidate ids: the
+    # (broadcast, tiny) id set semi-joins INTO the shingle index — a
+    # pushdown scan, never a corpus-wide shuffle
+    need = cand_new.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    sh = (
+        existing_shingles.select("id", "sh")
+        .unionByName(fresh_sh)
+        .join(F.broadcast(need), "id", "left_semi")
+        .where(F.size("sh") > 0)
+    )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cand_new.join(a, "id_a").join(b, "id_b")
@@ -242,13 +325,14 @@ def incremental_curate(
     )
     admitted = fresh.join(drop, id_col, "left_anti")
     if with_index_additions:
-        # what the NEXT batch's index must gain: the fp/shingle rows of
-        # this batch's exact-curated-and-not-already-indexed set (`fresh`,
-        # PRE near-dup — the tombstone contract). Consume these BEFORE the
-        # next incremental_curate call retires this call's caches.
+        # what the NEXT batch's index must gain: the fp/shingle/band rows
+        # of this batch's exact-curated-and-not-already-indexed set
+        # (`fresh`, PRE near-dup — the tombstone contract). Consume these
+        # BEFORE the next incremental_curate call retires this call's
+        # caches.
         add_fps = fresh.select(F.md5(F.col(text_col)).alias("fp")).distinct()
-        add_sh = shingle_table(fresh, id_col, text_col, n)
-        return admitted, add_fps, add_sh
+        add_bands = band_table_from_shingles(fresh_sh, k, bands, impl)
+        return admitted, add_fps, fresh_sh, add_bands
     return admitted
 
 

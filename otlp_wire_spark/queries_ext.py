@@ -910,11 +910,12 @@ def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = persist_into(
         curate(old, langs=("en",), min_quality=0.3, min_tokens=3), _PIPE_CACHES
     )
-    fps, ex_sh = curation_index(existing)
+    fps, ex_sh, ex_bands = curation_index(existing)
     out = incremental_curate(
         new, fps, ex_sh,
         langs=("en",), min_quality=0.3, min_tokens=3,
         k=16, bands=4, n=3, threshold=0.5, bucket_cap=10_000_000,
+        existing_bands=ex_bands,
     )
     return out.select(
         "doc_id",

@@ -4,9 +4,10 @@ on-disk curation index that grows with each epoch.
 
 Shape (the 100 TB ingest path): the corpus itself is never re-read. Each
 micro-batch runs ``incremental_curate`` against the index (md5
-fingerprints + shingle table of everything exact-curated so far), writes
-the admitted rows to a per-epoch sink directory, and appends the batch's
-own index rows as a new epoch partition. All per-epoch writes use
+fingerprints + shingle table + LSH banded-signature table of everything
+exact-curated so far — the band table is what keeps each epoch's MinHash
+work O(|batch|)), writes the admitted rows to a per-epoch sink directory,
+and appends the batch's own index rows as a new epoch partition. All per-epoch writes use
 ``overwrite`` into an ``epoch=<id>`` subdirectory AND each batch reads
 the index excluding its own epoch (a failed attempt's partial index
 writes must not feed the retry — see ``admit_epoch``), so a foreachBatch
@@ -30,6 +31,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 _FPS = "fingerprints"
 _SH = "shingles"
+_BANDS = "bands"
 
 
 def seed_curation_index(
@@ -38,16 +40,23 @@ def seed_curation_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    impl: str = "expr",
 ) -> None:
     """Write the batch-built index of an EXISTING corpus as epoch 'seed'
     partitions — the bootstrap before streaming ingest starts. ``curated``
     is the exact-curated set (near-dup stage INPUT; tombstone contract,
-    see incremental_curate)."""
+    see incremental_curate). ``k``/``bands`` must match the values later
+    passed to the stream (band_sig is a function of them)."""
     from otlp_wire_spark.operators.curate import curation_index
 
-    fps, sh = curation_index(curated, id_col, text_col, n)
+    fps, sh, bt = curation_index(curated, id_col, text_col, n, k, bands, impl)
     fps.write.mode("overwrite").parquet(os.path.join(index_dir, _FPS, "epoch=seed"))
     sh.write.mode("overwrite").parquet(os.path.join(index_dir, _SH, "epoch=seed"))
+    bt.write.mode("overwrite").parquet(
+        os.path.join(index_dir, _BANDS, "epoch=seed")
+    )
 
 
 def _dir_has_data(spark: SparkSession, path: str) -> bool:
@@ -83,7 +92,7 @@ def _dir_has_data(spark: SparkSession, path: str) -> bool:
 
 def _read_index(
     spark: SparkSession, index_dir: str, exclude_epoch: str | None = None
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, "DataFrame | None"]:
     """All epoch partitions of the index; typed empties when none exist yet
     (first batch of a fresh corpus).
 
@@ -94,9 +103,17 @@ def _read_index(
     then raises on every retry (the stream wedges), and with it off every
     doc anti-joins against itself and the epoch is rewritten EMPTY. The
     epoch partition column is read via partition discovery and compared as
-    a string (epoch values mix 'seed' with numeric ids)."""
+    a string (epoch values mix 'seed' with numeric ids).
+
+    Third return: the banded-signature table, or ``None`` when the index
+    predates the band layout (shingle epochs exist but no bands dir) —
+    the caller then lets incremental_curate fall back to deriving corpus
+    bands from the shingle index. An empty DataFrame would be WRONG there:
+    it would silently claim 'no corpus buckets' and admit every near-dup
+    of the seeded corpus."""
     fps_dir = os.path.join(index_dir, _FPS)
     sh_dir = os.path.join(index_dir, _SH)
+    bands_dir = os.path.join(index_dir, _BANDS)
 
     def _load(path: str, schema: str) -> DataFrame:
         if not _dir_has_data(spark, path):
@@ -106,9 +123,14 @@ def _read_index(
             df = df.where(F.col("epoch").cast("string") != exclude_epoch)
         return df.drop("epoch")
 
+    have_sh = _dir_has_data(spark, sh_dir)
+    have_bands = _dir_has_data(spark, bands_dir)
     return (
         _load(fps_dir, "fp string"),
         _load(sh_dir, "id long, sh array<string>"),
+        _load(bands_dir, "id long, band int, band_sig string")
+        if (have_bands or not have_sh)
+        else None,
     )
 
 
@@ -142,12 +164,13 @@ def admit_epoch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    fps, sh = _read_index(spark, index_dir, exclude_epoch=str(epoch_id))
-    admitted, add_fps, add_sh = incremental_curate(
+    fps, sh, bt = _read_index(spark, index_dir, exclude_epoch=str(epoch_id))
+    admitted, add_fps, add_sh, add_bands = incremental_curate(
         batch_df, fps, sh, id_col, text_col,
         langs, min_quality, min_tokens,
         k, bands, n, threshold, bucket_cap,
         validate_ids=validate_ids, with_index_additions=True,
+        existing_bands=bt,
     )
     admitted.write.mode("overwrite").parquet(
         os.path.join(admitted_dir, f"epoch={epoch_id}")
@@ -161,6 +184,9 @@ def admit_epoch(
     )
     add_sh.write.mode("overwrite").parquet(
         os.path.join(index_dir, _SH, f"epoch={epoch_id}")
+    )
+    add_bands.write.mode("overwrite").parquet(
+        os.path.join(index_dir, _BANDS, f"epoch={epoch_id}")
     )
 
 

@@ -166,8 +166,9 @@ def test_first_epoch_retry_after_mid_write_crash_unseeded(
 
     from otlp_wire_spark.streaming.curate_stream import _read_index
 
-    fps, sh = _read_index(spark, index_dir)
+    fps, sh, bt = _read_index(spark, index_dir)
     assert fps.count() == 0 and sh.count() == 0  # typed empties, no raise
+    assert bt is not None and bt.count() == 0  # no shingle data ⇒ empty bands OK
 
     # the retry itself admits normally against the empty index
     batch = spark.createDataFrame(new_rows, _SCHEMA)
@@ -176,5 +177,47 @@ def test_first_epoch_retry_after_mid_write_crash_unseeded(
     assert admitted.count() > 0
 
     # and once committed data exists, the probe sees it again
-    fps2, _ = _read_index(spark, index_dir)
+    fps2, _sh2, bt2 = _read_index(spark, index_dir)
     assert fps2.count() > 0
+    assert bt2 is not None and bt2.count() > 0  # epoch-0 band rows committed
+
+
+def test_read_index_pre_band_layout_falls_back_to_none(
+    spark, tmp_path_factory
+):
+    """An index written by a pre-band deployment (shingle epochs exist,
+    no bands dir) must yield bands=None — incremental_curate then derives
+    corpus bands from the shingle index. An empty band table here would
+    silently claim 'no corpus buckets' and admit every near-dup of the
+    seeded corpus."""
+    old_rows, new_rows = _corpus()
+    index_dir = str(tmp_path_factory.mktemp("legacy_idx"))
+    seed_curation_index(curate(spark.createDataFrame(old_rows, _SCHEMA)), index_dir)
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "bands"))
+
+    from otlp_wire_spark.streaming.curate_stream import _read_index
+
+    fps, sh, bt = _read_index(spark, index_dir)
+    assert sh.count() > 0 and bt is None
+
+    # admission against the legacy index still drops cross-boundary
+    # near-dups (the fallback derivation path)
+    admitted_dir = str(tmp_path_factory.mktemp("legacy_adm"))
+    batch = spark.createDataFrame(new_rows, _SCHEMA)
+    admit_epoch(batch, 0, index_dir, admitted_dir, bucket_cap=10_000_000)
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(
+            os.path.join(admitted_dir, "epoch=0")
+        ).select("doc_id").collect()
+    }
+    both = spark.createDataFrame(old_rows + new_rows, _SCHEMA)
+    want = {
+        r.doc_id
+        for r in _full_batch_admitted(spark, both).select("doc_id").collect()
+        if r.doc_id >= 100
+    }
+    assert got == want  # fallback path still batch-equivalent
+    assert {101, 105, 109} - got, "fixture must drop a near-dup"

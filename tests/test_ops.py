@@ -238,6 +238,58 @@ def test_ivf_ann_finds_planted_duplicate_and_subsets_exact(spark):
         assert exact[(r["q_id"], r["c_id"])] == r["cosine"]
 
 
+def test_ivf_trained_centroids_improve_recall(spark):
+    """VERDICT r4 #4: a TRAINED coarse quantizer (spherical k-means on a
+    bounded data-derived sample) must beat the synthetic sin-hash
+    quantizer on clustered embeddings — the realistic distribution shape.
+    8 Gaussian clusters: trained cells track the clusters (recall ≥ 0.85
+    at n_probe=2); the arbitrary quantizer splits them (≤ 0.8 here).
+    Training must also be deterministic — a pure function of (data, seed),
+    so the centroids can embed as oracle literals."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim, ncl, per = 8, 8, 40
+    centers = rng.randn(ncl, dim)
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    rows = []
+    for c in range(ncl):
+        for _ in range(per):
+            v = centers[c] + 0.35 * rng.randn(dim)
+            rows.append((len(rows), [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        rows[::16], "vec_id long, embedding array<double>"
+    )
+
+    ex: dict = {}
+    for r in similarity.cosine_topk(corpus, queries, k=5).collect():
+        ex.setdefault(r.q_id, set()).add(r.c_id)
+
+    def recall(df):
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r.q_id, set()).add(r.c_id)
+        return sum(
+            len(got.get(q, set()) & s) / len(s) for q, s in ex.items()
+        ) / len(ex)
+
+    r_default = recall(
+        similarity.ivf_ann_topk(corpus, queries, dim, k=5, n_centroids=8, n_probe=2)
+    )
+    cents = similarity.ivf_centroids_from_sample(corpus, dim, 8)
+    assert cents == similarity.ivf_centroids_from_sample(corpus, dim, 8)
+    r_trained = recall(
+        similarity.ivf_ann_topk(
+            corpus, queries, dim, k=5, n_centroids=8, n_probe=2, centroids=cents
+        )
+    )
+    # measured on this deterministic fixture: 0.68 vs 0.92
+    assert r_trained > r_default
+    assert r_trained >= 0.85
+    assert r_default <= 0.80
+
+
 def test_lsh_ann_subset_of_exact_scores(spark):
     """Approximate results must carry EXACT cosines (same kernel), and its
     (q,c) pairs must be a subset of the brute-force scored universe."""
@@ -612,6 +664,30 @@ def test_stratified_sample_deterministic_and_quota(spark):
 
     per = Counter(s for s, _ in a)
     assert per == {"a": 10, "b": 10}
+
+
+def test_hash_threshold_ansi_safe_at_boundary(spark):
+    """ADVICE r4: the threshold must clamp (not overflow-cast) under
+    spark.sql.ansi.enabled=true — the Spark 4 default a library caller
+    invoking the samplers directly would run with. Probes the largest
+    double below 1.0 and over-1 fractions; all must evaluate, the
+    boundary cases to keep-all."""
+    from otlp_wire_spark.operators.curate import _LONG_MAX, _hash_threshold
+
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        fracs = [0.0, 0.5, 1.0 - 2**-53, 1.0, 1.5]
+        row = spark.range(1).select(
+            *[
+                _hash_threshold(F.lit(v)).alias(f"t{i}")
+                for i, v in enumerate(fracs)
+            ]
+        ).first()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert row["t3"] == _LONG_MAX and row["t4"] == _LONG_MAX
+    assert row["t0"] == -(1 << 63)
+    assert row["t1"] < row["t2"] <= _LONG_MAX
 
 
 def _exact_sample_reference(rows, quota):

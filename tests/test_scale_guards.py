@@ -215,15 +215,27 @@ def test_pack_string_ids_use_sampled_bounds(spark):
 
 
 def test_near_dup_persist_cache_bounded(spark):
+    """Bounded at keep=2 PREVIOUS generations (ADVICE r4: the downstream
+    passes are lazy, so in a build-all-then-execute flow each registry
+    query's cache must survive the next two persist=True constructions) —
+    but never unbounded: a fifth call retires the first."""
     from otlp_wire_spark.operators import dedup
 
+    dedup._LAST_PERSISTED_SHINGLES.clear()
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma delta {i}") for i in range(20)],
         "doc_id long, text string",
     )
-    dedup.near_dup_pairs(docs, persist=True).collect()
-    dedup.near_dup_pairs(docs.where(F.col("doc_id") < 10), persist=True).collect()
-    assert len(dedup._LAST_PERSISTED_SHINGLES) == 1  # one generation kept
+    handles = []
+    for lo in (0, 5, 10, 12, 14):
+        dedup.near_dup_pairs(
+            docs.where(F.col("doc_id") >= lo), persist=True
+        ).collect()
+        handles.append(dedup._LAST_PERSISTED_SHINGLES[-1])
+    assert len(dedup._LAST_PERSISTED_SHINGLES) == 3  # current + 2 previous
+    assert dedup._LAST_PERSISTED_SHINGLES == handles[-3:]
+    assert not handles[0].storageLevel.useMemory  # oldest actually retired
+    assert handles[-1].storageLevel.useMemory
     spark.catalog.clearCache()
     dedup._LAST_PERSISTED_SHINGLES.clear()
 

@@ -94,18 +94,43 @@ def steal_probe(seconds: float = 1.0, procs: int | None = None) -> float | None:
     return 100.0 * (after["steal"] - before["steal"]) / total
 
 
+def section_verdict(before: dict, after: dict) -> dict:
+    """Combine two already-taken probe rounds into a host_ok verdict
+    WITHOUT running new probes — the per-SECTION stamping primitive
+    (round-4 verdict #2: a whole-run bracket passed host_ok while a noise
+    wave inside it corrupted one section; bracketing each section with
+    shared boundary stamps makes every reported number attributable to
+    its own stamped window).
+
+    ``host_ok`` = both steal samples < 3%% AND the single-thread control
+    drifted < 15%% across the section. A False verdict means the numbers
+    between these two stamps were taken in a degraded window and must not
+    be compared across rounds (re-run in a quiet window instead)."""
+    steals = [before.get("steal_pct"), after.get("steal_pct")]
+    controls = [before.get("control_sec"), after.get("control_sec")]
+    # an UNKNOWN steal reading (no /proc/stat — macOS, restricted
+    # container) is not evidence of degradation: fall back to the
+    # control-drift verdict alone, and surface the gap in the stamp
+    known = [s for s in steals if s is not None]
+    steal_ok = all(s < STEAL_QUIET_PCT for s in known)
+    drift = abs(controls[1] - controls[0]) / max(controls)
+    return {
+        "before": before,
+        "after": after,
+        "control_drift": round(drift, 4),
+        "steal_known": len(known) == len(steals),
+        "host_ok": bool(steal_ok and drift < CONTROL_DRIFT_TOL),
+    }
+
+
 def host_health_stamp(
     before: dict | None = None,
 ) -> dict:
     """One probe round: {'control_sec', 'steal_pct'}. Call once before the
     timed section, pass that dict back as ``before`` after it to get the
-    combined verdict:
-
-    ``host_ok`` = both steal samples < 3%% AND the single-thread control
-    drifted < 15%% across the run. A False stamp means the surrounding
-    numbers were taken in a degraded window and must not be compared
-    across rounds (re-run in a quiet window instead).
-    """
+    combined verdict (see ``section_verdict`` for the host_ok rule; multi-
+    section harnesses take a stamp at each boundary and verdict each
+    section separately)."""
     stamp = {
         "control_sec": round(cpu_control(), 4),
         "steal_pct": (
@@ -114,19 +139,4 @@ def host_health_stamp(
     }
     if before is None:
         return stamp
-    steals = [before.get("steal_pct"), stamp["steal_pct"]]
-    controls = [before.get("control_sec"), stamp["control_sec"]]
-    # an UNKNOWN steal reading (no /proc/stat — macOS, restricted
-    # container) is not evidence of degradation: fall back to the
-    # control-drift verdict alone, and surface the gap in the stamp
-    known = [s for s in steals if s is not None]
-    steal_ok = all(s < STEAL_QUIET_PCT for s in known)
-    drift = abs(controls[1] - controls[0]) / max(controls)
-    stamp_all = {
-        "before": before,
-        "after": stamp,
-        "control_drift": round(drift, 4),
-        "steal_known": len(known) == len(steals),
-        "host_ok": bool(steal_ok and drift < CONTROL_DRIFT_TOL),
-    }
-    return stamp_all
+    return section_verdict(before, stamp)

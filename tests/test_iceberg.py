@@ -15,8 +15,13 @@ import pytest
 from otlp_wire_spark.session import has_iceberg, iceberg_conf
 
 ICEBERG_SKIP = (
-    "no iceberg-spark-runtime jar in this sandbox (parquet committer gives "
-    "job-level atomicity instead); on a cluster: spark-submit --packages "
+    "no iceberg-spark-runtime jar in this sandbox and vendoring one is "
+    "impossible: the sandbox has no network (r5 attempt 2026-08-17: curl "
+    "to repo1.maven.org and example.com both fail DNS resolution, exit 6 "
+    "'could not resolve host'), no ivy/maven cache, and no iceberg jar "
+    "anywhere on disk (find / -name '*iceberg*jar*' → nothing). Parquet "
+    "committer gives job-level atomicity instead; on a cluster: "
+    "spark-submit --packages "
     "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> and pass "
     "session.iceberg_conf(warehouse) as extra_conf"
 )

@@ -231,9 +231,13 @@ def incremental_curate(
     if validate_ids:
         # contract check on the RAW batch (not its survivors — an exact-dup
         # row with a stale id must still fail loudly): two narrow aggs,
-        # parquet min/max stats make both cheap on real tables
-        mx_old = existing_shingles.agg(F.max("id")).first()[0]
-        mn_new = new_docs.agg(F.min(id_col)).first()[0]
+        # parquet min/max stats make both cheap on real tables; cross-joined
+        # 1-row aggregates so both ride ONE action
+        mx_old, mn_new = (
+            existing_shingles.agg(F.max("id").alias("mx"))
+            .crossJoin(new_docs.agg(F.min(id_col).alias("mn")))
+            .first()
+        )
         if mx_old is not None and mn_new is not None and mn_new <= mx_old:
             raise ValueError(
                 f"incremental_curate: new ids must all exceed existing ids "
@@ -258,23 +262,29 @@ def incremental_curate(
 
     # (3) near-dup vs corpus AND within the batch. The batch's shingle
     # table is the O(|new|) cache every downstream consumer reads (band
-    # rows ×2 refs, the verify sh_b side, the index additions); eager —
-    # concurrent candidate/verify stages would race a cold cache and
-    # re-run the tokenize+shingle scan (near_dup_pairs race note).
+    # rows ×2 refs, the verify sh_b side, the index additions). LAZY
+    # persists, deliberately: the candidate job below is the single eager
+    # barrier, and inside it the broadcast bucket-key subquery runs
+    # STRICTLY BEFORE the probe stages that depend on it — that first
+    # sequential touch materializes new_bands (and, through its lineage,
+    # fresh_sh) with no concurrent reader to race, so the verify action
+    # later reads warm caches. Making these eager too would serialize the
+    # batch-side pipeline into extra whole-batch jobs (measured ~1.3×
+    # end-to-end at bench scale) for no added safety.
     fresh_sh = persist_into(
         shingle_table(fresh, id_col, text_col, n).select("id", "sh"),
         _INCR_CACHES,
-        eager=True,
     )
     new_bands = band_table_from_shingles(fresh_sh, k, bands, impl)
     if observation is not None:
         # sig_rows = band rows whose signature THIS call computed. Fires
-        # during the eager materialization below, before the cached table
-        # fans out — the O(|new|) volume pin.
+        # exactly once, at cache materialization — later consumers read
+        # the InMemoryRelation above the CollectMetrics node — the
+        # O(|new|) volume pin.
         new_bands = new_bands.observe(
             observation, F.count(F.lit(1)).alias("sig_rows")
         )
-    new_bands = persist_into(new_bands, _INCR_CACHES, eager=True)
+    new_bands = persist_into(new_bands, _INCR_CACHES)
 
     if existing_bands is None:
         # no maintained band index: recompute corpus signatures from the
@@ -296,8 +306,10 @@ def incremental_curate(
         None,
     )
     new_ids = fresh.select(F.col(id_col).alias("id_b"))
-    # persisted: referenced by the verify probe AND (via broadcast) the
-    # shingle-index pushdown below — lazy, the candidate join would run 2×
+    # the ONE eager barrier: referenced by the verify probe AND (via
+    # broadcast) the shingle-index pushdown below — lazy, the candidate
+    # join would run 2× and the verify action's two union-shingle sides
+    # would race the cold fresh_sh cache
     cand_new = persist_into(
         cand.join(new_ids, "id_b", "left_semi"), _INCR_CACHES, eager=True
     )

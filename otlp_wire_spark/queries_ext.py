@@ -881,13 +881,16 @@ SQL_CURATION_PIPELINE = _sql_curation_pipeline()
 
 
 # --------------------------------------------------------------------------
-# incremental curation: admit a new batch (doc_id >= 250) against the
-# already-curated corpus of doc_id < 250, touching the corpus only via its
-# (fingerprints, shingles) index. Oracle = the batch-equivalence spec:
-# full curate→near-dup chain over ALL docs, restricted to the new ids.
+# incremental curation: admit a new batch (the last ~10% of doc ids)
+# against the already-curated corpus (the first ~90%), touching the corpus
+# only via its (fingerprints, shingles, bands) index — the realistic
+# design shape: big indexed corpus, small batch. The split is derived from
+# the DATA (max doc_id — ids are dense 0..N-1 in the fixture tables), not
+# hard-coded, so every SF grades the same 90/10 shape; the oracle computes
+# the identical split with a scalar subquery. Oracle = the
+# batch-equivalence spec: full curate→near-dup chain over ALL docs,
+# restricted to the new ids.
 # --------------------------------------------------------------------------
-
-_INCR_SPLIT_ID = 250
 
 
 def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -901,8 +904,13 @@ def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_wire_spark.operators.textstats import quantize4
 
     docs = _t(spark, sf_dir, "documents")
-    old = docs.where(F.col("doc_id") < _INCR_SPLIT_ID)
-    new = docs.where(F.col("doc_id") >= _INCR_SPLIT_ID)
+    # one scalar aggregate collect — data-derived (two-job-consistency
+    # rule: a driver-collected literal must be a pure function of the
+    # rows, which max(doc_id) is), O(1) driver traffic
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    split_id = (int(max_id) + 1) * 9 // 10
+    old = docs.where(F.col("doc_id") < split_id)
+    new = docs.where(F.col("doc_id") >= split_id)
     # batch-time artifacts of the existing corpus: the exact-curated set
     # (near-dup stage INPUT — tombstone contract) persisted once, because
     # fingerprints and shingles both read it
@@ -911,6 +919,13 @@ def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         curate(old, langs=("en",), min_quality=0.3, min_tokens=3), _PIPE_CACHES
     )
     fps, ex_sh, ex_bands = curation_index(existing)
+    # the index contract is "keep these as parquet/bucketed tables" — a
+    # deployment reads them back as narrow scans. In-query, persist the
+    # two corpus-side tables so the admission's several consumers (band
+    # join, Jaccard-verify semi-join, append-only validation) read the
+    # materialized index instead of re-tokenizing the corpus per consumer.
+    ex_sh = persist_into(ex_sh, _PIPE_CACHES)
+    ex_bands = persist_into(ex_bands, _PIPE_CACHES)
     out = incremental_curate(
         new, fps, ex_sh,
         langs=("en",), min_quality=0.3, min_tokens=3,
@@ -930,7 +945,7 @@ WITH {_sql_curate_neardup_ctes()}
 SELECT s.doc_id, s.pred_lang, s.n_tokens::INT AS n_tokens,
        floor(s.quality * 10000.0)::BIGINT AS quality_q4
 FROM cscored s JOIN kept2 USING (doc_id)
-WHERE s.doc_id >= {_INCR_SPLIT_ID}
+WHERE s.doc_id >= (SELECT (max(doc_id) + 1) * 9 // 10 FROM documents)
 ORDER BY s.doc_id
 """
 

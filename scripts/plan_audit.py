@@ -105,6 +105,38 @@ def main() -> None:
     assert "BroadcastHashJoin" in strat_plan, strat_plan
     assert "Window" in strat_plan  # the exact finish over survivors only
 
+    # incremental-admission witness (round-5 fix): the corpus band index is
+    # consumed through a broadcast LEFT SEMI join on (band, band_sig) keyed
+    # by the NEW batch's bucket keys — the corpus side is a narrow index
+    # scan, never a corpus-wide signature recompute or shuffle. The O(|new|)
+    # signature volume is pinned by
+    # tests/test_incremental.py::test_incremental_sig_stage_is_o_new_not_o_corpus.
+    from otlp_wire_spark.operators.curate import (
+        curate,
+        curation_index,
+        incremental_curate,
+    )
+
+    inc_old = sdf.where(FF.col("doc_id") < 450)
+    inc_new = sdf.where(FF.col("doc_id") >= 450)
+    inc_fps, inc_sh, inc_bands = curation_index(
+        curate(inc_old, langs=("en",), min_quality=0.3, min_tokens=3)
+    )
+    admitted = incremental_curate(
+        inc_new, inc_fps, inc_sh,
+        langs=("en",), min_quality=0.3, min_tokens=3,
+        k=16, bands=4, n=3, threshold=0.5, bucket_cap=10_000_000,
+        existing_bands=inc_bands, validate_ids=False,
+    )
+    inc_plan = admitted._jdf.queryExecution().executedPlan().toString()
+    inc_semi = [
+        ln.strip()
+        for ln in inc_plan.splitlines()
+        if "BroadcastHashJoin" in ln and "LeftSemi" in ln
+        and "band_sig" in ln
+    ]
+    assert inc_semi, inc_plan
+
     out = f"""# PLAN AUDIT — flagship pipeline physical plan
 
 Generated by scripts/plan_audit.py from the live plan; the shape is
@@ -154,6 +186,18 @@ stratified_sample — the per-stratum hash threshold arrives via
 BroadcastHashJoin (narrow, fully parallel pre-filter); the only Window is
 the exact finish over the O(quota) survivors. Volume pinned by
 tests/test_ops.py::test_stratified_sample_window_input_is_o_quota_not_o_stratum.
+
+## Incremental-admission witness (round-5 fix)
+
+incremental_curate with a maintained band index: the corpus side is a
+narrow scan of the stored (id, band, band_sig) table filtered by a
+broadcast LEFT SEMI join on the NEW batch's bucket keys — no corpus
+signature recompute, no corpus-wide shuffle; only matched buckets move.
+MinHash signatures are computed for the new batch only (volume pinned by
+tests/test_incremental.py::test_incremental_sig_stage_is_o_new_not_o_corpus;
+parquet-index round-trip by test_incremental_candidates_join_parquet_band_index).
+
+- `{inc_semi[0][:400]}`
 """
     with open(
         os.path.join(os.path.dirname(__file__), "..", "BENCH", "PLAN_AUDIT.md"),

@@ -212,9 +212,12 @@ def main() -> None:
     # 2× sat in a noise wave — self-flag it so a grader can discount the
     # number without re-running (round-4: simhash 3.79 s adjudicated to
     # 0.89 s only by a judge re-run)
+    def _is_noisy(durs: list[float]) -> bool:
+        return min(durs) > 0 and max(durs) / min(durs) > 2.0
+
     query_trials: dict[str, list[float]] = {}
     noisy_queries: list[str] = []
-    if min(durations) > 0 and max(durations) / min(durations) > 2.0:
+    if _is_noisy(durations):
         noisy_queries.append("pipeline_route")
 
     for name in bench_queries:
@@ -229,7 +232,7 @@ def main() -> None:
             durs.append(time.perf_counter() - t0)
         timings[name] = round(_st.median(durs), 3)
         query_trials[name] = [round(d, 3) for d in durs]
-        if min(durs) > 0 and max(durs) / min(durs) > 2.0:
+        if _is_noisy(durs):
             noisy_queries.append(name)
 
     total = round(sum(timings.values()), 3)

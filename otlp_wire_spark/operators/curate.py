@@ -339,12 +339,38 @@ def incremental_curate(
     if with_index_additions:
         # what the NEXT batch's index must gain: the fp/shingle/band rows
         # of this batch's exact-curated-and-not-already-indexed set
-        # (`fresh`, PRE near-dup — the tombstone contract). Consume these
-        # BEFORE the next incremental_curate call retires this call's
-        # caches.
-        add_fps = fresh.select(F.md5(F.col(text_col)).alias("fp")).distinct()
-        add_bands = band_table_from_shingles(fresh_sh, k, bands, impl)
-        return admitted, add_fps, fresh_sh, add_bands
+        # (`fresh`, PRE near-dup — the tombstone contract). The band rows
+        # are the already-persisted new_bands handle — re-deriving them
+        # from fresh_sh would pay the whole MinHash pass a second time
+        # per batch/epoch.
+        #
+        # EAGER localCheckpoint, not the warm caches directly: these
+        # handles' lineage reads the index PATHS (fresh anti-joins the
+        # fingerprint table), and the natural consumption is to APPEND
+        # them to those same paths. Spark's InsertIntoHadoopFsRelation
+        # calls recacheByPath on the written path, which RECOMPUTES every
+        # cached plan reading it against the refreshed file listing — the
+        # anti-join then sees the batch's own just-appended fingerprints,
+        # `fresh` recaches EMPTY, and the remaining addition handles
+        # silently write zero rows (the next batch's index never learns
+        # this batch existed; its near-dups are admitted). Checkpointing
+        # severs the parquet lineage so in-place appends cannot
+        # invalidate the handles. The extra jobs read the caches the
+        # cand_new barrier already materialized; the checkpointed data is
+        # O(|batch| index rows). Consume these BEFORE the next
+        # incremental_curate call retires this call's caches, and consume
+        # `admitted` (whose lineage is NOT checkpointed) before appending
+        # any addition to a path its plan reads. On a real cluster
+        # localCheckpoint blocks die with executors — the
+        # consume-immediately contract is what makes that acceptable.
+        add_fps = (
+            fresh.select(F.md5(F.col(text_col)).alias("fp"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        add_sh = fresh_sh.localCheckpoint(eager=True)
+        add_bands = new_bands.localCheckpoint(eager=True)
+        return admitted, add_fps, add_sh, add_bands
     return admitted
 
 

@@ -65,14 +65,34 @@ def _bucket_bounds(df: DataFrame, id_col: str, parts: int) -> list:
     # partition indexes), fully parallel (TakeOrdered, no full sort), and
     # Tungsten-side (the old .rdd.takeSample paid a Python serialization
     # round-trip of the sampled partitions).
-    sample = sorted(
-        r[0]
-        for r in df.select(id_col)
+    limit = parts * 20
+    base = (
+        df.select(id_col)
         .where(F.col(id_col).isNotNull())
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(parts * 20)
-        .collect()
     )
+    rows = [
+        r[0]
+        for r in base.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(limit)
+        .collect()
+    ]
+    # xxhash64 is a function of the VALUE, so duplicated ids share one
+    # hash and a heavy hitter can fill the page with copies of itself —
+    # dedupe before stepping, and only if a FULL page still collapsed to
+    # fewer distinct values than there are buckets (skewed duplication:
+    # rare ids crowded out by hot ones), pay one distinct-side sample.
+    # Equal ids can never be split across buckets, so when the data
+    # genuinely has ≤ parts distinct ids the collapsed bounds are already
+    # the best possible — the fallback only fires when more exist.
+    sample = sorted(set(rows))
+    if len(rows) == limit and len(sample) <= parts:
+        sample = sorted(
+            r[0]
+            for r in base.distinct()
+            .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(limit)
+            .collect()
+        )
     if not sample:
         return []
     step = max(1, len(sample) // parts)

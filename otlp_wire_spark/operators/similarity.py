@@ -407,9 +407,21 @@ def ivf_ann_topk(
             "ivf_n_centroids": len(cents),
             "ivf_quantizer": _cent_fingerprint(cents),
         }
-        # compare only keys the table carries — pre-r5 tables lack the
-        # quantizer fingerprint but their dim/n_centroids still guard
+        # compare only keys the table carries — except that a table with
+        # dim/n_centroids but NO quantizer fingerprint predates the stamp
+        # and was necessarily built with the synthetic ivf_centroids
+        # quantizer, so its fingerprint is reconstructible: without this,
+        # custom trained centroids at matching dim/n_centroids would
+        # silently join cell ids across two different quantizers
         got = {k: meta.get(k) for k in want if meta.get(k) is not None}
+        if (
+            "ivf_quantizer" not in got
+            and "ivf_dim" in got
+            and "ivf_n_centroids" in got
+        ):
+            got["ivf_quantizer"] = _cent_fingerprint(
+                ivf_centroids(got["ivf_dim"], got["ivf_n_centroids"])
+            )
         if got and any(got[k] != want[k] for k in got):
             raise ValueError(
                 f"ivf_ann_topk: assigned cell table was built with {got}, "

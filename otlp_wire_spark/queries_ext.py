@@ -908,7 +908,9 @@ def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rule: a driver-collected literal must be a pure function of the
     # rows, which max(doc_id) is), O(1) driver traffic
     max_id = docs.agg(F.max("doc_id")).first()[0]
-    split_id = (int(max_id) + 1) * 9 // 10
+    # empty table → max is NULL; split 0 keeps both sides empty instead
+    # of a TypeError at query-construction time
+    split_id = 0 if max_id is None else (int(max_id) + 1) * 9 // 10
     old = docs.where(F.col("doc_id") < split_id)
     new = docs.where(F.col("doc_id") >= split_id)
     # batch-time artifacts of the existing corpus: the exact-curated set

@@ -59,7 +59,9 @@ def seed_curation_index(
     )
 
 
-def _dir_has_data(spark: SparkSession, path: str) -> bool:
+def _dir_has_data(
+    spark: SparkSession, path: str, exclude_epochs: tuple[str, ...] = ()
+) -> bool:
     """Existence probe through the Hadoop FileSystem API — ``os.path``
     only sees the driver-local filesystem, and the 100 TB ingest shape
     implies HDFS/S3 paths where a local check silently reports 'no index'
@@ -71,12 +73,20 @@ def _dir_has_data(spark: SparkSession, path: str) -> bool:
     ``epoch=0/_temporary/`` task files; counting those as data would make
     the retry's parquet read fail schema inference (no committed footers)
     on every attempt — the exact wedge the epoch-exclusion retry contract
-    exists to prevent."""
+    exists to prevent.
+
+    ``exclude_epochs`` drops files under those ``epoch=<x>/`` partitions
+    from the decision: a retry must decide 'does band data exist?' on the
+    index AS THE RETRY SEES IT — counting the failed attempt's own
+    partitions would turn 'no band index yet' (→ derive/backfill) into
+    'band index present but empty after exclusion' (→ silently no corpus
+    buckets, every seed near-dup admitted)."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
         return False
+    skip = {f"epoch={e}" for e in exclude_epochs}
     root = fs.getFileStatus(p).getPath().toUri().getPath()
     it = fs.listFiles(p, True)  # recursive; files only
     while it.hasNext():
@@ -85,6 +95,8 @@ def _dir_has_data(spark: SparkSession, path: str) -> bool:
         # any hidden path segment (Spark/Hadoop convention) ⇒ uncommitted
         # or metadata-only — skip
         if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        if rel.split("/", 1)[0] in skip:
             continue
         return True
     return False
@@ -106,25 +118,39 @@ def _read_index(
     a string (epoch values mix 'seed' with numeric ids).
 
     Third return: the banded-signature table, or ``None`` when the index
-    predates the band layout (shingle epochs exist but no bands dir) —
-    the caller then lets incremental_curate fall back to deriving corpus
-    bands from the shingle index. An empty DataFrame would be WRONG there:
-    it would silently claim 'no corpus buckets' and admit every near-dup
-    of the seeded corpus."""
+    (as this epoch sees it, post-exclusion) predates the band layout —
+    shingle epochs exist but no band partitions. The caller then derives
+    corpus bands from the shingle index and BACKFILLS them as a committed
+    partition (admit_epoch), so the upgrade happens exactly once. An
+    empty DataFrame would be WRONG there: it would silently claim 'no
+    corpus buckets' and admit every near-dup of the seeded corpus."""
     fps_dir = os.path.join(index_dir, _FPS)
     sh_dir = os.path.join(index_dir, _SH)
     bands_dir = os.path.join(index_dir, _BANDS)
+    # the current epoch's own partitions are suspect on retry — including
+    # its band BACKFILL partition (see admit_epoch), which a failed
+    # attempt may have committed partially; a half-covered band index
+    # silently admits near-dups, so the retry re-derives + overwrites it
+    excl: tuple[str, ...] = (
+        ()
+        if exclude_epoch is None
+        else (exclude_epoch, f"backfill-{exclude_epoch}")
+    )
 
     def _load(path: str, schema: str) -> DataFrame:
-        if not _dir_has_data(spark, path):
+        if not _dir_has_data(spark, path, excl):
             return spark.createDataFrame([], schema)
         df = spark.read.option("basePath", path).parquet(path)
-        if exclude_epoch is not None:
-            df = df.where(F.col("epoch").cast("string") != exclude_epoch)
+        if excl:
+            df = df.where(~F.col("epoch").cast("string").isin(*excl))
         return df.drop("epoch")
 
-    have_sh = _dir_has_data(spark, sh_dir)
-    have_bands = _dir_has_data(spark, bands_dir)
+    # both decided on the index AS THIS EPOCH SEES IT (post-exclusion):
+    # a failed attempt's own epoch=N / backfill-N files must not flip
+    # 'no band layout yet' (→ None → derive) into 'bands present' (→ an
+    # empty table that claims no corpus buckets)
+    have_sh = _dir_has_data(spark, sh_dir, excl)
+    have_bands = _dir_has_data(spark, bands_dir, excl)
     return (
         _load(fps_dir, "fp string"),
         _load(sh_dir, "id long, sh array<string>"),
@@ -165,6 +191,27 @@ def admit_epoch(
         return
     spark = batch_df.sparkSession
     fps, sh, bt = _read_index(spark, index_dir, exclude_epoch=str(epoch_id))
+    if bt is None:
+        # bt None ⟺ the index this epoch sees has shingle epochs but no
+        # band partitions (_read_index) — the pre-band-layout upgrade.
+        # Derive the corpus band
+        # table from the shingle index ONCE and commit it as a backfill
+        # partition. Writing only this epoch's band additions would leave
+        # the bands dir half-covered — the NEXT epoch would see band data,
+        # trust it as the complete corpus band index, and silently admit
+        # near-dups of every pre-upgrade doc. The backfill is epoch-keyed
+        # (backfill-<id>) and read back from its committed files, so a
+        # retry of this epoch excludes + re-derives + overwrites it
+        # (idempotent, same as the epoch's own writes).
+        from otlp_wire_spark.operators.dedup import band_table_from_shingles
+
+        backfill_dir = os.path.join(
+            index_dir, _BANDS, f"epoch=backfill-{epoch_id}"
+        )
+        band_table_from_shingles(sh.select("id", "sh"), k, bands).write.mode(
+            "overwrite"
+        ).parquet(backfill_dir)
+        bt = spark.read.parquet(backfill_dir)
     admitted, add_fps, add_sh, add_bands = incremental_curate(
         batch_df, fps, sh, id_col, text_col,
         langs, min_quality, min_tokens,

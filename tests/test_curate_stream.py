@@ -221,3 +221,40 @@ def test_read_index_pre_band_layout_falls_back_to_none(
     }
     assert got == want  # fallback path still batch-equivalent
     assert {101, 105, 109} - got, "fixture must drop a near-dup"
+
+    # the upgrade epoch must BACKFILL the derived corpus bands as a
+    # committed partition — writing only its own band additions would
+    # leave the bands dir half-covered, and the NEXT epoch (seeing band
+    # data, trusting it as complete) would silently admit near-dups of
+    # every pre-upgrade doc:
+    assert glob.glob(
+        os.path.join(index_dir, "bands", "epoch=backfill-0", "*.parquet")
+    ), "upgrade epoch must commit the corpus band backfill"
+
+    # epoch 1 against the upgraded index: a planted near-dup of a SEED
+    # corpus doc (id 300 vs seed id 0) is the regression trigger — with
+    # a half-covered band index its seed bucket-mate is invisible
+    b2 = [
+        (300, old_rows[0][1] + " extra tail"),  # near-dup of seed doc 0
+        (301, "nine grey geese cross the pale sky before the early frost"),
+    ]
+    admit_epoch(
+        spark.createDataFrame(b2, _SCHEMA), 1, index_dir, admitted_dir,
+        bucket_cap=10_000_000,
+    )
+    got2 = {
+        r.doc_id
+        for r in spark.read.parquet(
+            os.path.join(admitted_dir, "epoch=1")
+        ).select("doc_id").collect()
+    }
+    everything = spark.createDataFrame(old_rows + new_rows + b2, _SCHEMA)
+    want2 = {
+        r.doc_id
+        for r in _full_batch_admitted(spark, everything)
+        .select("doc_id").collect()
+        if r.doc_id >= 300
+    }
+    assert got2 == want2
+    assert 300 not in got2, "seed near-dup must be rejected post-upgrade"
+    assert 301 in got2

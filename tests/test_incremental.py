@@ -200,6 +200,79 @@ def test_band_index_rows_equal_recompute(spark):
         assert a == b and a
 
 
+def test_two_batch_chain_with_index_additions(spark, tmp_path):
+    """Batch-mode index maintenance via ``with_index_additions``: admit
+    batch 1, extend the on-disk index with the returned additions, admit
+    batch 2 against the extended index — each batch's admissions must
+    equal the full-batch pipeline over everything, restricted to that
+    batch's ids. Exercises cross-batch exact dups, cross-batch near-dups,
+    and the tombstone contract ACROSS batches (a batch-2 dup of a doc
+    that batch-1 admission itself dropped must still be rejected)."""
+    old_rows, b1_rows = _corpus()
+    f1 = b1_rows[3][1]                 # id 103's fresh text
+    f3 = b1_rows[8][1]                 # id 108's fresh text
+    f4 = "seven green birds circle the high cliff then settle on the ledge"
+    f5 = "cold rain taps the tin roof while the kettle hums on the stove"
+    b2_rows = [
+        (200, f1),                      # exact dup of batch-1 admitted 103
+        (201, f3 + " slight change"),   # near-dup of batch-1 admitted 108
+        (202, f1 + " tiny change"),     # exact dup of batch-1 DROPPED 105
+                                        #   (tombstone across batches)
+        (203, f4),                      # fresh
+        (204, f5),                      # fresh
+        (205, f4 + " at dusk"),         # near-dup within batch 2
+    ]
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(old_rows, schema)
+    b1 = spark.createDataFrame(b1_rows, schema)
+    b2 = spark.createDataFrame(b2_rows, schema)
+
+    # seed index on disk (deployment shape), then the chain: each batch's
+    # additions are appended to the stored tables BEFORE the next call
+    # (consuming them immediately, per the cache-retirement contract)
+    fps, sh, bt = curation_index(curate(old))
+    fdir, sdir, bdir = (
+        str(tmp_path / "fps"), str(tmp_path / "sh"), str(tmp_path / "bands")
+    )
+    fps.write.parquet(fdir)
+    sh.write.parquet(sdir)
+    bt.write.parquet(bdir)
+
+    admitted1, add_fps, add_sh, add_bands = incremental_curate(
+        b1,
+        spark.read.parquet(fdir),
+        spark.read.parquet(sdir),
+        bucket_cap=10_000_000,
+        existing_bands=spark.read.parquet(bdir),
+        with_index_additions=True,
+    )
+    got1 = {r.doc_id for r in admitted1.select("doc_id").collect()}
+    add_fps.write.mode("append").parquet(fdir)
+    add_sh.write.mode("append").parquet(sdir)
+    add_bands.write.mode("append").parquet(bdir)
+
+    admitted2 = incremental_curate(
+        b2,
+        spark.read.parquet(fdir),
+        spark.read.parquet(sdir),
+        bucket_cap=10_000_000,
+        existing_bands=spark.read.parquet(bdir),
+    )
+    got2 = {r.doc_id for r in admitted2.select("doc_id").collect()}
+
+    ref = _full_batch_admitted(
+        spark, spark.createDataFrame(old_rows + b1_rows + b2_rows, schema)
+    )
+    want = {r.doc_id for r in ref.select("doc_id").collect()}
+    assert got1 == {i for i in want if 100 <= i < 200}
+    assert got2 == {i for i in want if i >= 200}
+    # each planted drop class actually fired
+    assert 200 not in got2              # cross-batch exact dup
+    assert 202 not in got2              # exact dup of a tombstoned b1 doc
+    assert {203, 204}.issubset(got2)
+    assert (201 not in got2) or (205 not in got2)
+
+
 def test_incremental_rejects_overlapping_ids(spark):
     old_rows, new_rows = _corpus()
     schema = "doc_id long, text string"

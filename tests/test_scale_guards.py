@@ -190,6 +190,51 @@ def test_ivf_assigned_quantizer_mismatch_rejected(spark, vectors):
         )
 
 
+def test_ivf_fingerprintless_assigned_guards_trained_centroids(spark, vectors):
+    """A stored assignment table WITHOUT the quantizer fingerprint (pre-
+    stamp layout) was necessarily built with the synthetic quantizer — its
+    fingerprint is reconstructible from dim/n_centroids. Custom trained
+    centroids at the SAME dim/n_centroids must therefore be rejected
+    (silently joining cell ids across two quantizers returns wrong
+    neighbors); the synthetic default must still be accepted."""
+    assigned = similarity.ivf_assign_cells(vectors, dim=8, n_centroids=4)
+    meta = dict(assigned.schema["cell"].metadata)
+    assert "ivf_quantizer" in meta
+    meta.pop("ivf_quantizer")
+    legacy = assigned.withMetadata("cell", meta)
+
+    trained = similarity.ivf_centroids_from_sample(
+        vectors, dim=8, n_centroids=4
+    )
+    q = vectors.where(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="quantizer"):
+        similarity.ivf_ann_topk(
+            vectors, q, dim=8, k=2, n_centroids=4,
+            assigned=legacy, centroids=trained,
+        )
+    # same legacy table + the synthetic default: reconstructed fingerprint
+    # matches, no raise
+    out = similarity.ivf_ann_topk(
+        vectors, q, dim=8, k=2, n_centroids=4, assigned=legacy,
+    ).collect()
+    assert out
+
+
+def test_bucket_bounds_survive_duplicated_string_ids(spark):
+    """xxhash64 is a function of the VALUE: heavily duplicated ids share
+    one hash, so a hot id can fill the whole hash-order sample page with
+    copies of itself and collapse the boundary set toward one bucket
+    (serializing the pass-2 prefix-sum window). The distinct-side
+    fallback must recover the rare ids."""
+    from otlp_wire_spark.operators.pack import _bucket_bounds
+
+    rows = [(f"hot-{i % 2}",) for i in range(5000)]
+    rows += [(f"rare-{i:04d}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string").repartition(7)
+    bounds = _bucket_bounds(df, "doc_id", parts=8)
+    assert len(bounds) >= 4, bounds
+
+
 def test_pack_string_ids_use_sampled_bounds(spark):
     """Non-numeric id columns take the seeded-sample boundary path — same
     exact packing as the numeric path, no silent single-bucket collapse."""

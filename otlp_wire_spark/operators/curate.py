@@ -167,6 +167,7 @@ def incremental_curate(
     with_index_additions: bool = False,
     existing_bands: DataFrame | None = None,
     observation: "object | None" = None,
+    broadcast_key_limit: int = 5_000_000,
 ) -> "DataFrame | tuple[DataFrame, DataFrame, DataFrame, DataFrame]":
     """Admit a NEW batch of documents into an already-curated corpus
     without re-curating the corpus — the only affordable shape when the
@@ -190,12 +191,20 @@ def incremental_curate(
       k/bands/impl). THIS is what makes admission O(|new|): MinHash
       signatures are computed for the NEW batch only and its band rows
       hash-join the stored table to find corpus bucket-mates — the corpus
-      side is one narrow band-index scan filtered by the (broadcast, tiny)
-      set of new bucket keys, shuffling only matched buckets. When
-      ``None``, the band table is derived here from ``existing_shingles``:
-      same results, but that recomputes every corpus signature — an
-      O(corpus-index) per-batch cost you should only accept for one-off
-      calls without a maintained index.
+      side is one narrow band-index scan filtered by the (typically
+      broadcast, tiny) set of new bucket keys, shuffling only matched
+      buckets. When ``None``, the band table is derived here from
+      ``existing_shingles``: same results, but that recomputes every
+      corpus signature — an O(corpus-index) per-batch cost you should
+      only accept for one-off calls without a maintained index.
+    - ``broadcast_key_limit``: the batch-derived key sets (bucket keys,
+      candidate ids) are broadcast into the corpus-index joins only when
+      their MEASURED row count is at most this (counting reads the warm
+      batch-side caches — no extra scan). A huge batch (say 10^8 docs)
+      would blow Spark's 8 GB broadcast cap if the hint were forced, so
+      above the limit the hint is dropped and the joins degrade to
+      shuffles — proportionally fine exactly when the batch is that
+      large, and never a hard failure.
 
     Batch-equivalence invariant (pinned by tests and the SQL oracle):
     under append-only ids (every new id > every existing id; checked when
@@ -210,15 +219,22 @@ def incremental_curate(
     contains a new id, and (b) a matched bucket's membership — hence its
     ``bucket_cap`` truncation window — is identical whether or not the
     unmatched (old-only) buckets are materialized alongside it. The
-    Jaccard verify reads shingle arrays only for ids that appear in a
-    candidate pair (broadcast semi-join pushdown into the shingle index).
+    Jaccard verify touches the corpus shingle index exactly ONCE, for the
+    lower (``id_a``) members only — semi-joined down to candidate ids
+    before any shuffle; the higher members are always new (append-only
+    ids + the ``id_b`` restriction), so their shingle arrays come from
+    the batch's own cached shingle table, never a second index scan.
     The corpus TEXT is never re-read; with ``existing_bands`` the
     per-batch cost is O(|new|) plus those narrow index scans.
 
     Pass a ``pyspark.sql.Observation`` as ``observation`` to record
-    ``sig_rows`` — the number of band rows whose MinHash signature this
-    call actually computed (== |exact-admitted new| × bands when the band
-    index is supplied; an O(|new|) pin, tested)."""
+    ``sig_rows`` — the number of band rows whose MinHash signature the
+    NEW-batch signature stage computed (== |exact-admitted new| × bands;
+    an O(|new|) pin, tested). Scope: with ``existing_bands`` supplied
+    this is ALL the signature work the call does; on the
+    ``existing_bands=None`` fallback the corpus-wide recompute derived
+    from ``existing_shingles`` is NOT counted — the metric pins the
+    batch stage, it cannot absolve the fallback's O(corpus-index) cost."""
     from otlp_wire_spark.cacheutil import persist_into, retire_oldest
     from otlp_wire_spark.operators.dedup import (
         band_table_from_shingles,
@@ -262,29 +278,34 @@ def incremental_curate(
 
     # (3) near-dup vs corpus AND within the batch. The batch's shingle
     # table is the O(|new|) cache every downstream consumer reads (band
-    # rows ×2 refs, the verify sh_b side, the index additions). LAZY
-    # persists, deliberately: the candidate job below is the single eager
-    # barrier, and inside it the broadcast bucket-key subquery runs
-    # STRICTLY BEFORE the probe stages that depend on it — that first
-    # sequential touch materializes new_bands (and, through its lineage,
-    # fresh_sh) with no concurrent reader to race, so the verify action
-    # later reads warm caches. Making these eager too would serialize the
-    # batch-side pipeline into extra whole-batch jobs (measured ~1.3×
-    # end-to-end at bench scale) for no added safety.
+    # rows ×2 refs, the verify sh_b side, the index additions). fresh_sh
+    # stays lazy: the EAGER new_bands materialization below computes the
+    # whole fresh → fresh_sh → new_bands chain in ONE linear job with no
+    # concurrent reader, warming all three caches — under AQE, leaving
+    # new_bands lazy would let the candidate job's independent leaf
+    # stages (the bucket-key side and the probe side) race the cold
+    # caches and re-run the batch scoring scan.
     fresh_sh = persist_into(
         shingle_table(fresh, id_col, text_col, n).select("id", "sh"),
         _INCR_CACHES,
     )
     new_bands = band_table_from_shingles(fresh_sh, k, bands, impl)
     if observation is not None:
-        # sig_rows = band rows whose signature THIS call computed. Fires
-        # exactly once, at cache materialization — later consumers read
-        # the InMemoryRelation above the CollectMetrics node — the
-        # O(|new|) volume pin.
+        # sig_rows = band rows whose signature the NEW-batch stage
+        # computed (docstring scope note). Fires exactly once, at cache
+        # materialization — later consumers read the InMemoryRelation
+        # above the CollectMetrics node — the O(|new|) volume pin.
         new_bands = new_bands.observe(
             observation, F.count(F.lit(1)).alias("sig_rows")
         )
-    new_bands = persist_into(new_bands, _INCR_CACHES)
+    new_bands = persist_into(new_bands, _INCR_CACHES, eager=True)
+
+    def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+        # broadcast is a HINT we only apply when the measured size says it
+        # fits comfortably — forcing it on a huge batch's key set would
+        # bypass AQE's size check and die at Spark's 8 GB broadcast cap
+        # instead of degrading to a (proportionally fine) shuffle join
+        return F.broadcast(df) if n_rows <= broadcast_key_limit else df
 
     if existing_bands is None:
         # no maintained band index: recompute corpus signatures from the
@@ -293,12 +314,15 @@ def incremental_curate(
             existing_shingles.select("id", "sh"), k, bands, impl
         )
     # corpus bucket-mates: narrow band-index scan filtered by the batch's
-    # bucket keys (tiny — ≤ |new|·bands rows, broadcast); only matched
-    # buckets ever shuffle. Old-only buckets can't contribute a candidate
-    # whose higher member is new, so skipping them is exact.
+    # bucket keys (≤ |new|·bands rows, broadcast when measured-small);
+    # only matched buckets ever shuffle. Old-only buckets can't contribute
+    # a candidate whose higher member is new, so skipping them is exact.
+    # The count reads the warm new_bands cache — one tiny job, no rescan.
     new_keys = new_bands.select("band", "band_sig").distinct()
     matched_old = existing_bands.select("id", "band", "band_sig").join(
-        F.broadcast(new_keys), ["band", "band_sig"], "left_semi"
+        _maybe_broadcast(new_keys, new_keys.count()),
+        ["band", "band_sig"],
+        "left_semi",
     )
     cand = lsh_pairs_from_bands(
         matched_old.unionByName(new_bands.select("id", "band", "band_sig")),
@@ -306,27 +330,31 @@ def incremental_curate(
         None,
     )
     new_ids = fresh.select(F.col(id_col).alias("id_b"))
-    # the ONE eager barrier: referenced by the verify probe AND (via
-    # broadcast) the shingle-index pushdown below — lazy, the candidate
-    # join would run 2× and the verify action's two union-shingle sides
-    # would race the cold fresh_sh cache
+    # the candidate-side eager barrier: referenced by the verify probe AND
+    # (via the measured broadcast) the shingle-index pushdown below —
+    # lazy, the candidate join would run once per consumer
     cand_new = persist_into(
         cand.join(new_ids, "id_b", "left_semi"), _INCR_CACHES, eager=True
     )
-    # Jaccard verify reads shingle arrays ONLY for candidate ids: the
-    # (broadcast, tiny) id set semi-joins INTO the shingle index — a
-    # pushdown scan, never a corpus-wide shuffle
-    need = cand_new.select(
-        F.explode(F.array("id_a", "id_b")).alias("id")
-    ).distinct()
+    # Jaccard verify touches the corpus shingle index EXACTLY ONCE, for
+    # the id_a side only: every id_b is new by construction (append-only
+    # ids ⇒ the higher member of any surviving pair is a batch doc), so
+    # the sh_b side reads the batch's own cached shingle table — building
+    # it from the union would pay a second full index scan per batch
+    # whose old rows the id_b join then discards. The id_a set semi-joins
+    # INTO the index (pushdown scan, broadcast when measured-small —
+    # cand_new is already persisted, so the count is a cache-only job).
+    need = cand_new.select(F.col("id_a").alias("id")).distinct()
     sh = (
         existing_shingles.select("id", "sh")
         .unionByName(fresh_sh)
-        .join(F.broadcast(need), "id", "left_semi")
+        .join(_maybe_broadcast(need, need.count()), "id", "left_semi")
         .where(F.size("sh") > 0)
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    b = fresh_sh.where(F.size("sh") > 0).select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
     joined = cand_new.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))

@@ -270,10 +270,19 @@ def ivf_centroids_from_sample(
 def _cent_fingerprint(cents: list[list[float]]) -> str:
     """Identity of a quantizer = hash of its exact float values — travels
     in the assignment table's column metadata so a query can refuse an
-    index built with different centroids."""
+    index built with different centroids.
+
+    Normalized to nested Python floats BEFORE hashing: hashing the raw
+    ``repr(cents)`` would make the guard container-sensitive (the same
+    values as a numpy array vs a list would spuriously mismatch) and,
+    worse, numpy's summarized repr of a large array (``...`` past 1000
+    elements) would fingerprint two DIFFERENT big quantizers identically
+    whenever their displayed corner elements agree — the exact
+    wrong-quantizer join the guard exists to refuse."""
     import hashlib
 
-    return hashlib.md5(repr(cents).encode()).hexdigest()[:16]
+    norm = [[float(x) for x in c] for c in cents]
+    return hashlib.md5(repr(norm).encode()).hexdigest()[:16]
 
 
 def _centroid_sims(vec: Column, cents: list[list[float]]) -> list[Column]:

@@ -137,24 +137,29 @@ def _read_index(
         else (exclude_epoch, f"backfill-{exclude_epoch}")
     )
 
-    def _load(path: str, schema: str) -> DataFrame:
-        if not _dir_has_data(spark, path, excl):
+    def _load(path: str, schema: str, has_data: bool) -> DataFrame:
+        # has_data is the probe result computed ONCE below — re-probing
+        # here would double the recursive LIST walks per micro-batch on
+        # object stores, whose cost grows with every committed epoch
+        if not has_data:
             return spark.createDataFrame([], schema)
         df = spark.read.option("basePath", path).parquet(path)
         if excl:
             df = df.where(~F.col("epoch").cast("string").isin(*excl))
         return df.drop("epoch")
 
-    # both decided on the index AS THIS EPOCH SEES IT (post-exclusion):
+    # all decided on the index AS THIS EPOCH SEES IT (post-exclusion):
     # a failed attempt's own epoch=N / backfill-N files must not flip
     # 'no band layout yet' (→ None → derive) into 'bands present' (→ an
-    # empty table that claims no corpus buckets)
+    # empty table that claims no corpus buckets). Exactly one probe per
+    # index directory per epoch.
+    have_fps = _dir_has_data(spark, fps_dir, excl)
     have_sh = _dir_has_data(spark, sh_dir, excl)
     have_bands = _dir_has_data(spark, bands_dir, excl)
     return (
-        _load(fps_dir, "fp string"),
-        _load(sh_dir, "id long, sh array<string>"),
-        _load(bands_dir, "id long, band int, band_sig string")
+        _load(fps_dir, "fp string", have_fps),
+        _load(sh_dir, "id long, sh array<string>", have_sh),
+        _load(bands_dir, "id long, band int, band_sig string", have_bands)
         if (have_bands or not have_sh)
         else None,
     )

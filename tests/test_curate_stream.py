@@ -258,3 +258,30 @@ def test_read_index_pre_band_layout_falls_back_to_none(
     assert got2 == want2
     assert 300 not in got2, "seed near-dup must be rejected post-upgrade"
     assert 301 in got2
+
+
+def test_read_index_probes_each_dir_exactly_once(spark, tmp_path, monkeypatch):
+    """_read_index issues ONE _dir_has_data probe per index directory —
+    each probe is a full recursive LIST of a directory whose file count
+    grows with every committed epoch, so re-probing inside _load would
+    double per-epoch planning cost on object stores."""
+    import otlp_wire_spark.streaming.curate_stream as cs
+
+    index_dir = str(tmp_path / "index")
+    seed_curation_index(
+        curate(spark.createDataFrame(
+            [(i, _sentence(i)) for i in range(8)], "doc_id long, text string"
+        )),
+        index_dir,
+    )
+    calls: list[str] = []
+    real = cs._dir_has_data
+
+    def counting(spark_, path, exclude_epochs=()):
+        calls.append(path)
+        return real(spark_, path, exclude_epochs)
+
+    monkeypatch.setattr(cs, "_dir_has_data", counting)
+    fps, sh, bt = cs._read_index(spark, index_dir)
+    assert bt is not None and fps.count() > 0 and sh.count() > 0
+    assert len(calls) == len(set(calls)) == 3, calls

@@ -173,6 +173,11 @@ def test_incremental_candidates_join_parquet_band_index(spark, tmp_path):
     )
     plan = admitted._jdf.queryExecution().executedPlan().toString()
     assert "bands" in plan  # the stored band table is in the plan
+    # the corpus shingle index is scanned EXACTLY once (the id_a verify
+    # side) — the sh_b side must come from the batch's own shingle table,
+    # never a second full index scan (pre-r5-review shape paid one whose
+    # old rows the id_b join then discarded)
+    assert plan.count(sdir) == 1, plan
     got = {r.doc_id for r in admitted.select("doc_id").collect()}
     want = {
         r.doc_id
@@ -283,3 +288,24 @@ def test_incremental_rejects_overlapping_ids(spark):
     )
     with pytest.raises(ValueError, match="append-only"):
         incremental_curate(overlapping, fps, sh)
+
+
+def test_incremental_no_broadcast_path_equivalent(spark):
+    """broadcast is a measured-size HINT, not a correctness dependency:
+    with broadcast_key_limit=0 (every key set 'too big', hints dropped,
+    joins degrade to shuffles — the huge-batch shape that would blow
+    Spark's 8 GB broadcast cap if the hint were forced) the admitted set
+    is identical to the default broadcast path."""
+    old_rows, new_rows = _corpus()
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    fps, sh, bt = curation_index(curate(old))
+    kw = dict(bucket_cap=10_000_000, existing_bands=bt)
+    cols = None
+    got = {}
+    for lim in (5_000_000, 0):
+        adm = incremental_curate(new, fps, sh, broadcast_key_limit=lim, **kw)
+        cols = cols or sorted(adm.columns)
+        got[lim] = sorted(map(tuple, adm.select(*cols).collect()))
+    assert got[0] == got[5_000_000] and got[0]

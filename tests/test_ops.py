@@ -886,3 +886,28 @@ def test_dedup_clusters_pointer_jumping_round_count(spark):
     got = {r.id: r.rep for r in dedup.dedup_clusters(pairs).collect()}
     assert got == {i: 0 for i in range(41)}
     assert dedup.dedup_clusters.last_rounds <= 10
+
+
+def test_ivf_quantizer_fingerprint_is_value_based():
+    """The quantizer-identity guard hashes VALUES, not container reprs:
+    the same centroids as numpy array / list-of-lists / tuples must
+    fingerprint identically (no false mismatch), and two LARGE quantizers
+    differing only in the middle — where numpy's summarized repr elides
+    with '...' — must fingerprint differently (no false match, which
+    would silently join cell ids across different quantizers)."""
+    import numpy as np
+
+    cents = [[0.1, 0.2, 0.3], [0.4, 0.5, 0.6]]
+    as_np = np.array(cents)
+    as_tuple = tuple(tuple(c) for c in cents)
+    fp = similarity._cent_fingerprint(cents)
+    assert similarity._cent_fingerprint(as_np) == fp
+    assert similarity._cent_fingerprint(as_tuple) == fp
+
+    big_a = np.arange(64 * 768, dtype=float).reshape(64, 768) / (64 * 768)
+    big_b = big_a.copy()
+    big_b[32, 384] += 1.0  # differs only where the summarized repr elides
+    assert repr(big_a) == repr(big_b)  # the trap the guard must not fall in
+    assert similarity._cent_fingerprint(big_a) != similarity._cent_fingerprint(
+        big_b
+    )

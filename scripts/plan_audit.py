@@ -196,6 +196,13 @@ signature recompute, no corpus-wide shuffle; only matched buckets move.
 MinHash signatures are computed for the new batch only (volume pinned by
 tests/test_incremental.py::test_incremental_sig_stage_is_o_new_not_o_corpus;
 parquet-index round-trip by test_incremental_candidates_join_parquet_band_index).
+The broadcast hints are gated on a MEASURED key count
+(broadcast_key_limit): a batch whose key set would exceed Spark's 8 GB
+broadcast cap drops the hint and the joins degrade to shuffles instead of
+failing (equivalence pinned by test_incremental_no_broadcast_path_equivalent).
+The Jaccard verify scans the corpus shingle index exactly ONCE — the id_a
+side; id_b is always a batch doc, read from the batch's own cache (plan
+scan count pinned in test_incremental_candidates_join_parquet_band_index).
 
 - `{inc_semi[0][:400]}`
 """

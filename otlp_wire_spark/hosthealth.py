@@ -113,13 +113,28 @@ def section_verdict(before: dict, after: dict) -> dict:
     # control-drift verdict alone, and surface the gap in the stamp
     known = [s for s in steals if s is not None]
     steal_ok = all(s < STEAL_QUIET_PCT for s in known)
-    drift = abs(controls[1] - controls[0]) / max(controls)
+    # a missing control reading (hand-built stamp, future control-less
+    # variant) degrades to a steal-only verdict — symmetric with the
+    # unknown-steal fallback above, instead of a TypeError that would
+    # abort the harness AFTER the timed work completed
+    known_c = [c for c in controls if c is not None]
+    drift = (
+        abs(controls[1] - controls[0]) / max(known_c)
+        if len(known_c) == 2
+        else None
+    )
     return {
         "before": before,
         "after": after,
-        "control_drift": round(drift, 4),
+        "control_drift": round(drift, 4) if drift is not None else None,
         "steal_known": len(known) == len(steals),
-        "host_ok": bool(steal_ok and drift < CONTROL_DRIFT_TOL),
+        # no evidence at all (steal unknown AND no control pair) can't
+        # vouch for the window
+        "host_ok": bool(
+            (known or drift is not None)
+            and steal_ok
+            and (drift is None or drift < CONTROL_DRIFT_TOL)
+        ),
     }
 
 

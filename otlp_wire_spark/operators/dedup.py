@@ -30,19 +30,21 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Exact Python mirror of the JVM tokenization (tokens_col): F.trim strips
-# ASCII SPACES only (not \t / NBSP — Python str.strip() would), Java regex
-# \s is exactly [ \t\n\x0B\f\r] (ASCII — Python's \s adds unicode spaces),
-# and F.split's default limit=-1 KEEPS leading/trailing empty fields,
-# which re.split also does. Any shortcut here silently breaks the
+# Exact Python mirror of the JVM tokenization (tokens_col): boundary
+# whitespace is stripped with Java regex \s = exactly [ \t\n\x0B\f\r]
+# (ASCII — Python's \s adds unicode spaces, str.strip() would strip NBSP),
+# then split on runs of the same class. Stripping the boundary first means
+# no empty fields can appear (interior \s+ runs can't produce them). Any
+# shortcut here (str.split(), str.strip()) silently breaks the
 # arrow-vs-expr bit parity on \t-leading or NBSP-containing text.
 _JVM_WS = _re.compile(r"[ \t\n\x0B\f\r]+")
+_JVM_WS_EDGE = _re.compile(r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$")
 
 
 def _jvm_tokens(t: object) -> list[str]:
     if not isinstance(t, str):
         return []
-    st = t.strip(" ")
+    st = _JVM_WS_EDGE.sub("", t)
     if not st:
         return []
     return _JVM_WS.split(st)
@@ -71,10 +73,20 @@ def minhash_perms(k: int = 16, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokenization; NULL text → empty array."""
+    """Whitespace tokenization; NULL/whitespace-only text → empty array.
+
+    Strips ALL leading/trailing whitespace (regexp, not ``trim()`` — Spark
+    trim strips only 0x20) before splitting: boundary tabs/newlines would
+    otherwise yield phantom '' tokens ("hello\\n" → 2 tokens, "\\t" → 2),
+    silently inflating every downstream token count, quality ratio and
+    shingle set — and the SQL oracle mirrored the same bug, so parity
+    tests could never catch it. Interior ``\\s+`` splits can't produce
+    empties, so stripping the boundary is the whole fix."""
+    stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
     return F.when(
-        text.isNull() | (F.length(F.trim(text)) == 0), F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(text), r"\s+"))
+        text.isNull() | (F.length(stripped) == 0),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(stripped, r"\s+"))
 
 
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:

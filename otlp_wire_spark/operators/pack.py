@@ -125,11 +125,25 @@ def global_token_offsets(
     parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
     bounds = _bucket_bounds(df, id_col, parts)
     # bucket = #boundaries strictly below id: deterministic per ROW, ordered
-    # by construction (ascending boundary list), duplicates co-bucketed
-    bkt = F.lit(0)
-    for x in bounds:
-        bkt = bkt + F.when(F.col(id_col) > F.lit(x), 1).otherwise(0)
-    bucketed = df.withColumn("_bkt", bkt.cast("int"))
+    # by construction (ascending boundary list), duplicates co-bucketed.
+    # Balanced decision tree over the sorted boundary literals — O(log
+    # parts) comparisons per row; parts tracks cluster parallelism, so the
+    # naive chained-CASE scan would cost every row O(cores) comparisons
+    # (×3 lineage evaluations), growing with the MACHINE instead of the
+    # data, and a 1000-bound chain overflows codegen's method budget.
+    def _bkt_tree(lo: int, hi: int, below: int) -> F.Column:
+        # bucket for a row whose id exceeds `below` bounds plus those in
+        # bounds[lo:hi] it exceeds; NULL ids take every otherwise() branch
+        # → bucket 0, same as the old chain's NULL semantics
+        if lo >= hi:
+            return F.lit(below)
+        mid = (lo + hi) // 2
+        return F.when(
+            F.col(id_col) > F.lit(bounds[mid]),
+            _bkt_tree(mid + 1, hi, below + (mid - lo + 1)),
+        ).otherwise(_bkt_tree(lo, mid, below))
+
+    bucketed = df.withColumn("_bkt", _bkt_tree(0, len(bounds), 0).cast("int"))
     # pass 1: per-bucket totals — O(buckets) rows, the only driver traffic
     psums = bucketed.groupBy("_bkt").agg(F.sum(count_col).alias("_psum")).collect()
     offsets: dict[int, int] = {}
@@ -144,9 +158,14 @@ def global_token_offsets(
     # Explicit ROWS frame: the default RANGE frame makes duplicate ids
     # PEERS sharing one cumulative value → overlapping token intervals;
     # ROWS assigns disjoint offsets (matching the oracle's ROWS BETWEEN).
+    # count_col as secondary sort key: under a ROWS frame, duplicate ids
+    # with DIFFERENT counts would otherwise take their offsets in shuffle
+    # arrival order — nondeterministic run-to-run and engine-to-engine
+    # (the oracle sorts the same two keys); equal (id, count) ties emit
+    # indistinguishable rows, so the output set is fully determined.
     w = (
         Window.partitionBy("_bkt")
-        .orderBy(id_col)
+        .orderBy(id_col, count_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -33,41 +33,28 @@ TOKEN_REGEX = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def ws_token_count(text: Column) -> Column:
-    """Whitespace token count; NULL/empty → 0."""
-    return F.when(
-        text.isNull() | (F.length(F.trim(text)) == 0), F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(text), r"\s+"))).cast("int")
+    """Whitespace token count; NULL/whitespace-only → 0. Delegates to the
+    ONE tokenizer (dedup.tokens_col — regexp-strips boundary whitespace so
+    newline-terminated text doesn't count a phantom '' token)."""
+    return F.size(tokens_norm_col(text)).cast("int")
 
 
 def regex_token_count(text: Column) -> Column:
-    """BPE-ish regex token count; NULL → 0."""
-    return F.coalesce(
-        F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0))), F.lit(0)
+    """BPE-ish regex token count; NULL → 0 — via an explicit NULL guard,
+    not coalesce(size(...)): size(NULL) is -1 under legacy sizeOfNull
+    (session-config-dependent), and -1 is non-NULL so the coalesce never
+    fires and the count silently goes negative for NULL text."""
+    return F.when(text.isNull(), F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
     ).cast("int")
-
-
-def _marker_hits(text: Column, words: list[str]) -> Column:
-    """How many of the marker words occur (as whole tokens) in the text —
-    distinct-marker count, not occurrence count (set semantics match the
-    SQL oracle's list_intersect)."""
-    toks = F.when(text.isNull(), F.array().cast("array<string>")).otherwise(
-        F.split(F.lower(F.trim(text)), r"\s+")
-    )
-    return F.size(
-        F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
-    )
 
 
 def lang_id_col(text: Column) -> Column:
     """Argmax of marker-word overlap; ties → earlier key in LANG_MARKERS,
-    all-zero → 'unknown'. Deterministic, SQL-mirrorable CASE chain."""
-    scores = {k: _marker_hits(text, v) for k, v in LANG_MARKERS.items()}
-    keys = list(LANG_MARKERS)
-    mx = F.greatest(*[scores[k] for k in keys])
-    out = F.when(mx == 0, F.lit("unknown"))
-    for k in keys:
-        out = out.when(scores[k] == mx, F.lit(k))
-    return out.otherwise(F.lit("unknown"))
+    all-zero → 'unknown'. Thin wrapper over ``lang_id_from_tokens`` —
+    ONE argmax chain, nothing to drift (lowering before tokenizing equals
+    lowering each token: case never touches whitespace)."""
+    return lang_id_from_tokens(tokens_norm_col(F.lower(text)))
 
 
 def tokens_norm_col(text: Column) -> Column:
@@ -106,7 +93,11 @@ def quality_from_tokens(
     n = F.size(toks)
     hits = F.size(F.filter(toks_lower, lambda t: t.isin(*STOPWORDS_EN)))
     ratio = F.when(n == 0, F.lit(0.0)).otherwise(hits / n).cast("double")
-    avg_len = F.when(n == 0, F.lit(0.0)).otherwise(F.length(F.trim(text)) / n)
+    # regexp strip, not trim(): a trailing newline must not inflate the
+    # numerator (trim is space-only in both engines; oracle mirrors this)
+    avg_len = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(text, r"^\s+|\s+$", "")) / n
+    )
     score = (
         F.lit(0.5) * F.least(n / F.lit(100.0), F.lit(1.0))
         + F.lit(0.3) * (F.lit(1.0) - ratio)
@@ -120,26 +111,21 @@ def stopword_ratio(text: Column) -> Column:
     Unrounded: rounding of ratio-of-small-ints values (e.g. 3/32) is
     engine-dependent at the half boundary — quantize only at the edge with
     ``quantize4``."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
-    n = ws_token_count(text)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    toks_lower = tokens_norm_col(F.lower(text))
+    n = F.size(tokens_norm_col(text))
+    hits = F.size(F.filter(toks_lower, lambda t: t.isin(*STOPWORDS_EN)))
     return F.when(n == 0, F.lit(0.0)).otherwise(hits / n).cast("double")
 
 
 def quality_score(text: Column) -> Column:
     """Deterministic quality heuristic in [0,1] (unrounded double):
     0.5·min(tokens/100,1) + 0.3·(1−stopword_ratio) + 0.2·min(avg_len/10,1).
-    """
-    n = ws_token_count(text)
-    avg_len = F.when(n == 0, F.lit(0.0)).otherwise(
-        F.length(F.trim(text)) / n
+    Thin wrapper over ``quality_from_tokens`` — the formula exists ONCE;
+    this convenience form re-tokenizes per reference (see tokens_norm_col
+    for the materialize-once discipline on hot paths)."""
+    return quality_from_tokens(
+        text, tokens_norm_col(text), tokens_norm_col(F.lower(text))
     )
-    score = (
-        F.lit(0.5) * F.least(n / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - stopword_ratio(text))
-        + F.lit(0.2) * F.least(avg_len / F.lit(10.0), F.lit(1.0))
-    )
-    return F.when(n == 0, F.lit(0.0)).otherwise(score).cast("double")
 
 
 def quantize4(col: Column) -> Column:
@@ -235,7 +221,13 @@ def repetition_stats(
     alongside quality/lang scores (Rae et al. 2021, §A1.1 heuristics;
     public-domain thresholds, re-derived here):
 
-    - ``n_lines``: newline-split line count (empty/NULL text → 0)
+    - ``n_lines``: newline-split line count (empty/NULL text → 0). One
+      trailing empty element is dropped — conventional newline-TERMINATED
+      text ("a\\nb\\n") has 2 lines (the ``wc -l`` convention), not a
+      phantom third; without this, documents that merely end in blank
+      lines register duplicate-''-line repetition and boilerplate filters
+      fire on formatting instead of content. Interior blank lines still
+      count (they are real lines).
     - ``dup_line_q4``: fraction of lines that are duplicates of an earlier
       line, floor-quantized ×10⁴ (cross-engine float discipline)
     - ``top_2gram_q4``: occurrences of the MOST frequent token 2-gram over
@@ -248,9 +240,15 @@ def repetition_stats(
     Never a driver collect; never a global gram table.
     """
     t = F.col(text_col)
+    raw = F.split(t, "\n", -1)
+    # drop exactly ONE trailing '' (newline-terminated convention); raw is
+    # never empty inside the otherwise() branch, so element_at is safe
+    dropped = F.when(
+        F.element_at(raw, F.size(raw)) == "", F.slice(raw, 1, F.size(raw) - 1)
+    ).otherwise(raw)
     lines = F.when(
         t.isNull() | (F.length(t) == 0), F.array().cast("array<string>")
-    ).otherwise(F.split(t, "\n", -1))
+    ).otherwise(dropped)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         lines.alias("_lines"),

@@ -58,14 +58,25 @@ def _manifest_path(run_dir: str, stage: str) -> str:
     return os.path.join(_stage_dir(run_dir, stage), MANIFEST)
 
 
-def _stage_complete(run_dir: str, stage: str, fingerprint: str) -> bool:
+def _stage_complete(
+    run_dir: str, stage: str, fingerprint: str, expect: dict | None = None
+) -> bool:
+    """``expect``: per-run knobs that change the committed OUTPUT SHAPE
+    (num_shards, sink_format) — a manifest only matches if it recorded the
+    same values. Without this, re-running the same run_dir with a changed
+    knob but the same (often default-constant) fingerprint would skip the
+    stage and hand back the previous run's shape as if it were this one's.
+    A manifest that predates these keys fails the match and recomputes —
+    the safe direction."""
     p = _manifest_path(run_dir, stage)
     if not os.path.exists(p):
         return False
     try:
         with open(p) as f:
             m = json.load(f)
-        return m.get("fingerprint") == fingerprint and m.get("status") == "complete"
+        if m.get("fingerprint") != fingerprint or m.get("status") != "complete":
+            return False
+        return all(m.get(k) == v for k, v in (expect or {}).items())
     except (json.JSONDecodeError, OSError):
         return False
 
@@ -120,23 +131,32 @@ def run_pipeline(
         clean = spark.read.parquet(os.path.join(parsed_dir, "clean"))
         quarantined_n = json.load(open(_manifest_path(run_dir, "parsed")))["quarantined"]
     else:
+        from pyspark.sql import Observation
+
         parsed = parse_pages(pages)
         clean, quarantined = quarantine_split(parsed)
-        quarantined.write.mode("overwrite").parquet(
-            os.path.join(parsed_dir, "quarantine")
-        )
-        clean.write.mode("overwrite").parquet(os.path.join(parsed_dir, "clean"))
+        # both manifest counts ride the write jobs via Observation (the
+        # same exactness machinery as the routed sinks,
+        # route.write_sharded_with_manifest) — NOT a read-back of the
+        # quarantine parquet plus a clean.count(): those were two whole
+        # extra passes over the parsed output to produce two integers
+        q_obs, c_obs = Observation("quarantined_n"), Observation("clean_n")
+        quarantined.observe(q_obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(parsed_dir, "quarantine"))
+        clean.observe(c_obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(parsed_dir, "clean"))
         clean = spark.read.parquet(os.path.join(parsed_dir, "clean"))
-        quarantined_n = spark.read.parquet(
-            os.path.join(parsed_dir, "quarantine")
-        ).count()
-        _write_manifest(run_dir, "parsed", fingerprint, quarantined=quarantined_n,
-                        clean=clean.count())
+        quarantined_n = int(q_obs.get["n"])
+        _write_manifest(run_dir, "parsed", fingerprint,
+                        quarantined=quarantined_n, clean=int(c_obs.get["n"]))
 
     # ---- stage: enrich + route + sinks -----------------------------------
     routed_dir = _stage_dir(run_dir, "routed")
     sink_path = os.path.join(routed_dir, "data")
-    if _stage_complete(run_dir, "routed", fingerprint):
+    shape = {"num_shards": num_shards, "sink_format": sink_format}
+    if _stage_complete(run_dir, "routed", fingerprint, expect=shape):
         skipped.append("routed")
         shard_rows = json.load(open(_manifest_path(run_dir, "routed")))["per_shard"]
         per_shard = {int(k): v for k, v in shard_rows.items()}
@@ -179,6 +199,7 @@ def run_pipeline(
             run_dir, "routed", fingerprint,
             per_shard={str(k): v for k, v in per_shard.items()},
             aggregates={k: int(v or 0) for k, v in extras.items()},
+            **shape,
         )
 
     # ---- stage: aggregate (band histogram + context stats) ---------------
@@ -203,9 +224,10 @@ def _run_pipeline_fused(
     routed_dir = _stage_dir(run_dir, "routed")
     sink_path = os.path.join(routed_dir, "data")
     skipped: list[str] = []
+    shape = {"num_shards": num_shards, "sink_format": sink_format}
     m = (
         json.load(open(_manifest_path(run_dir, "routed")))
-        if _stage_complete(run_dir, "routed", fingerprint)
+        if _stage_complete(run_dir, "routed", fingerprint, expect=shape)
         else None
     )
     # a persisted-mode manifest has no 'quarantined' (that count lives in
@@ -256,6 +278,7 @@ def _run_pipeline_fused(
             per_shard={str(k): v for k, v in per_shard.items()},
             quarantined=quarantined_n,
             aggregates={k: int(v or 0) for k, v in extras.items()},
+            **shape,
         )
     return _finalize(spark, run_dir, fingerprint, per_shard, quarantined_n,
                      skipped, t0, sink_path)
@@ -275,8 +298,15 @@ def _finalize(
     agg = routed_manifest.get("aggregates")
     if agg is None:
         # resumed from a pre-aggregates manifest: fall back to sink read
-        # (filter quarantine rows — fused sinks carry them under shard=-1)
-        sink = spark.read.parquet(sink_path).where(
+        # (filter quarantine rows — fused sinks carry them under shard=-1).
+        # The sink's format comes from the manifest when recorded — the
+        # sink is pluggable (route threads fmt through write AND
+        # read-back), so hardcoding parquet here would misread a
+        # non-parquet sink; legacy manifests predate both keys and were
+        # necessarily parquet.
+        sink = spark.read.format(
+            routed_manifest.get("sink_format", "parquet")
+        ).load(sink_path).where(
             F.col("parsed.parse_error").isNull()
         )
         bands = band_histogram(sink, severity_col="parsed.severity").collect()

@@ -23,8 +23,15 @@ PERMS = dedup.minhash_perms(16)
 # DuckDB mirrors of the token/shingle pipeline ------------------------------
 
 _SQL_TOKS = (
-    "CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[] "
-    "ELSE string_split_regex(trim(text), '\\s+') END"
+    # boundary whitespace is stripped with a REGEXP (trim() is space-only
+    # in both engines): without it "hello\n" tokenizes to 2 tokens — the
+    # same bug the Spark side (dedup.tokens_col) fixes, mirrored here so
+    # the engines keep agreeing on the CORRECT semantics
+    "CASE WHEN text IS NULL "
+    "OR length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 "
+    "THEN []::VARCHAR[] "
+    "ELSE string_split_regex("
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END"
 )
 _SQL_FNV_TOKEN = FNV_SQL.format(col="t")
 
@@ -77,8 +84,8 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_STATS = rf"""
 SELECT doc_id,
-  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
-       ELSE len(string_split_regex(trim(text), '\s+')) END::INT AS n_ws,
+  CASE WHEN text IS NULL OR length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+       ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END::INT AS n_ws,
   coalesce(len(regexp_extract_all(text, '{textstats.TOKEN_REGEX}')), 0)::INT AS n_re
 FROM documents ORDER BY doc_id
 """
@@ -108,8 +115,8 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CORPUS_STATS = rf"""
 WITH c AS (
-  SELECT CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+  SELECT CASE WHEN text IS NULL OR length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+              ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n
   FROM documents
 )
 SELECT count(*) AS n_docs, sum(n)::BIGINT AS total_tokens,
@@ -182,7 +189,7 @@ _LANG_SCORES = {k: _sql_lang_score(v) for k, v in textstats.LANG_MARKERS.items()
 _LANG_SCORES_TOKS = {
     k: _sql_lang_score_expr(v, "toks") for k, v in textstats.LANG_MARKERS.items()
 }
-SQL_QUALITY_SCORES = f"""
+SQL_QUALITY_SCORES = rf"""
 WITH base AS (
   SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
 ), stats AS (
@@ -194,7 +201,7 @@ WITH base AS (
                               t -> t IN ({_STOPS})))::DOUBLE / len(toks)
     END AS stop_ratio,
     CASE WHEN len(toks) = 0 THEN 0.0
-         ELSE length(trim(text))::DOUBLE / len(toks) END AS avg_len
+         ELSE length(regexp_replace(text, '^\s+|\s+$', '', 'g'))::DOUBLE / len(toks) END AS avg_len
   FROM base
 )
 SELECT doc_id,
@@ -235,7 +242,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CURATE_LANGS = {
     k: _sql_lang_score_expr(v, "toks") for k, v in textstats.LANG_MARKERS.items()
 }
-SQL_CURATE_CORPUS = f"""
+SQL_CURATE_CORPUS = rf"""
 WITH base AS (
   SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
 ), stats AS (
@@ -245,7 +252,7 @@ WITH base AS (
                               t -> t IN ({_STOPS})))::DOUBLE / len(toks)
     END AS stop_ratio,
     CASE WHEN len(toks) = 0 THEN 0.0
-         ELSE length(trim(text))::DOUBLE / len(toks) END AS avg_len,
+         ELSE length(regexp_replace(text, '^\s+|\s+$', '', 'g'))::DOUBLE / len(toks) END AS avg_len,
     {_CURATE_LANGS["en"]} AS s_en, {_CURATE_LANGS["de"]} AS s_de,
     {_CURATE_LANGS["fr"]} AS s_fr, {_CURATE_LANGS["es"]} AS s_es
   FROM base
@@ -293,8 +300,8 @@ WITH sh AS (
   SELECT doc_id,
     list_distinct(list_transform(range(1, len(t)-1),
                                  i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+  FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
   WHERE len(t) >= 3
 ), b AS (
   SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 101 = 0)
@@ -398,7 +405,7 @@ WITH counted AS (
   SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents
 ), off AS (
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id, n_tokens
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
            AS tok_before
   FROM counted WHERE n_tokens > 0
@@ -431,8 +438,8 @@ WITH sh AS (
   SELECT doc_id,
     list_distinct(list_transform(range(1, len(t)-1),
                                  i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+  FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
   WHERE len(t) >= 3
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -561,8 +568,8 @@ sh AS (
   SELECT doc_id,
     list_distinct(list_transform(range(1, len(t)-1),
                                  i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+  FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
   WHERE len(t) >= 3
 )
 SELECT c.id_a, c.id_b,
@@ -667,6 +674,9 @@ SQL_REPETITION_STATS = rf"""
 WITH l AS (
   SELECT doc_id,
     CASE WHEN text IS NULL OR length(text) = 0 THEN []::VARCHAR[]
+         WHEN text[-1] = chr(10)
+           THEN list_slice(string_split(text, chr(10)), 1,
+                           len(string_split(text, chr(10))) - 1)
          ELSE string_split(text, chr(10)) END AS lines,
     {_SQL_TOKS} AS toks
   FROM documents
@@ -785,8 +795,8 @@ def _sql_sh(src: str) -> str:
   SELECT doc_id,
     list_distinct(list_transform(range(1, len(t)-1),
                                  i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        FROM {src} WHERE text IS NOT NULL AND length(trim(text)) > 0)
+  FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+        FROM {src} WHERE text IS NOT NULL AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
   WHERE len(t) >= 3
 """
 
@@ -795,7 +805,7 @@ def _sql_curate_neardup_ctes() -> str:
     """The shared curate → near-dup CTE chain (cbase … kept2) over ALL
     documents — reused by the full pipeline oracle and by the incremental
     oracle (whose spec is 'full batch restricted to new ids')."""
-    return f"""cbase AS (
+    return rf"""cbase AS (
   SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
 ), cstats AS (
   SELECT doc_id, text, len(toks) AS n_tokens,
@@ -804,7 +814,7 @@ def _sql_curate_neardup_ctes() -> str:
                               t -> t IN ({_STOPS})))::DOUBLE / len(toks)
     END AS stop_ratio,
     CASE WHEN len(toks) = 0 THEN 0.0
-         ELSE length(trim(text))::DOUBLE / len(toks) END AS avg_len,
+         ELSE length(regexp_replace(text, '^\s+|\s+$', '', 'g'))::DOUBLE / len(toks) END AS avg_len,
     {_CURATE_LANGS["en"]} AS s_en, {_CURATE_LANGS["de"]} AS s_de,
     {_CURATE_LANGS["fr"]} AS s_fr, {_CURATE_LANGS["es"]} AS s_es
   FROM cbase
@@ -860,7 +870,7 @@ contam AS (
   SELECT doc_id, len({toks_clean}) AS n_tokens FROM clean
 ), off AS (
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id, n_tokens
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
            AS tok_before
   FROM counted WHERE n_tokens > 0
@@ -977,8 +987,8 @@ sh AS (
   SELECT doc_id,
     list_distinct(list_transform(range(1, len(t)-1),
                                  i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+  FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
   WHERE len(t) >= 3
 ),
 vpairs AS (

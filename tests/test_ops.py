@@ -359,18 +359,26 @@ def test_pack_sequences_duplicate_ids_get_disjoint_intervals(spark):
     sharing one cumulative sum, double-booking tokens)."""
     from otlp_wire_spark.operators.pack import pack_sequences
 
+    # duplicate id 7 carries THREE DIFFERENT counts: under a ROWS frame
+    # their offsets depend on sort order, so the window needs the
+    # (id, count) secondary key to be deterministic run-to-run and to
+    # match the oracle (which sorts the same two keys)
     df = spark.createDataFrame(
-        [(7, 10), (7, 10), (7, 10), (1, 5), (9, 3)],
+        [(7, 10), (7, 4), (7, 10), (1, 5), (9, 3)],
         "doc_id long, n_tokens int",
     ).repartition(3)
-    out = pack_sequences(df, seq_len=16).collect()
-    assert sum(r["n_toks"] for r in out) == 38  # every token placed once
-    per_seq: dict[int, int] = {}
-    for r in out:
-        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_toks"]
-    last = max(per_seq)
-    for sid, n in per_seq.items():
-        assert n == 16 or sid == last, (sid, n)
+    runs = []
+    for rep in range(2):
+        out = pack_sequences(df.repartition(2 + rep), seq_len=16).collect()
+        assert sum(r["n_toks"] for r in out) == 32  # every token placed once
+        per_seq: dict[int, int] = {}
+        for r in out:
+            per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_toks"]
+        last = max(per_seq)
+        for sid, n in per_seq.items():
+            assert n == 16 or sid == last, (sid, n)
+        runs.append(sorted(map(tuple, out)))
+    assert runs[0] == runs[1]  # deterministic under different partitioning
 
 
 def test_pack_sequences_property_matches_python_packer(spark):

@@ -210,3 +210,27 @@ def test_pipeline_plan_shape_budget(spark):
     assert_max_shuffles(routed, 1)
     assert_broadcast_join(routed)
     assert_no_python(routed)
+
+
+def test_changed_output_shape_forces_recompute(spark, result):
+    """Re-running the same run_dir + fingerprint with a DIFFERENT
+    num_shards must NOT resume: the manifest records the output-shape
+    knobs (num_shards, sink_format), so a changed knob recomputes instead
+    of returning the previous run's shape as if it were this one's (the
+    fingerprint alone defaults to a constant and cannot catch this)."""
+    res2 = run_pipeline(
+        spark, generate_pages(spark, N), generate_lookup(spark),
+        result.run_dir, num_shards=NUM_SHARDS * 2, fingerprint=f"pages-n{N}",
+    )
+    assert "routed" not in res2.stages_skipped
+    assert len(res2.per_shard) == NUM_SHARDS * 2
+    assert sum(v["page_count"] for v in res2.per_shard.values()) == sum(
+        v["page_count"] for v in result.per_shard.values()
+    )
+    # and back: original shard count again resumes cleanly after recompute
+    res3 = run_pipeline(
+        spark, generate_pages(spark, N), generate_lookup(spark),
+        result.run_dir, num_shards=NUM_SHARDS * 2, fingerprint=f"pages-n{N}",
+    )
+    assert "routed" in res3.stages_skipped
+    assert res3.per_shard == res2.per_shard

@@ -30,15 +30,20 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Exact Python mirror of the JVM tokenization (tokens_col): boundary
-# whitespace is stripped with Java regex \s = exactly [ \t\n\x0B\f\r]
-# (ASCII — Python's \s adds unicode spaces, str.strip() would strip NBSP),
-# then split on runs of the same class. Stripping the boundary first means
-# no empty fields can appear (interior \s+ runs can't produce them). Any
-# shortcut here (str.split(), str.strip()) silently breaks the
-# arrow-vs-expr bit parity on \t-leading or NBSP-containing text.
-_JVM_WS = _re.compile(r"[ \t\n\x0B\f\r]+")
-_JVM_WS_EDGE = _re.compile(r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$")
+# The ONE whitespace definition, spelled as an EXPLICIT character class —
+# never the \s shorthand, whose meaning is ENGINE-DEFINED: Java regex \s
+# is [ \t\n\x0B\f\r] but DuckDB's RE2 \s omits \x0B (vertical tab), and
+# Python's \s adds unicode spaces. Every consumer (Spark Java regexes
+# here, the Python Arrow twins, the DuckDB SQL mirrors via queries_ext)
+# interpolates this class, so all engines tokenize identically by
+# construction; the escapes parse the same in Java, RE2 and Python re.
+# Any shortcut (str.split(), str.strip(), \s) silently breaks parity on
+# \t-leading, \x0B-containing or NBSP-containing text.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+WS_RUN = WS_CLASS + "+"
+WS_EDGE = rf"^{WS_CLASS}+|{WS_CLASS}+$"
+_JVM_WS = _re.compile(WS_RUN)
+_JVM_WS_EDGE = _re.compile(WS_EDGE)
 
 
 def _jvm_tokens(t: object) -> list[str]:
@@ -80,13 +85,14 @@ def tokens_col(text: Column) -> Column:
     otherwise yield phantom '' tokens ("hello\\n" → 2 tokens, "\\t" → 2),
     silently inflating every downstream token count, quality ratio and
     shingle set — and the SQL oracle mirrored the same bug, so parity
-    tests could never catch it. Interior ``\\s+`` splits can't produce
-    empties, so stripping the boundary is the whole fix."""
-    stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
+    tests could never catch it. Interior whitespace-run splits can't
+    produce empties, so stripping the boundary is the whole fix. Uses the
+    explicit WS_CLASS, not \\s (see its comment: \\s is engine-defined)."""
+    stripped = F.regexp_replace(text, WS_EDGE, "")
     return F.when(
         text.isNull() | (F.length(stripped) == 0),
         F.array().cast("array<string>"),
-    ).otherwise(F.split(stripped, r"\s+"))
+    ).otherwise(F.split(stripped, WS_RUN))
 
 
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:

@@ -15,6 +15,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from otlp_wire_spark.functions.fnv import fnv64a_expr
+from otlp_wire_spark.operators.dedup import WS_CLASS, WS_EDGE
 
 # Fixed stopword sets for the n-gram/stopword language heuristic — tiny on
 # purpose (they're literals in both engines). Order = tiebreak priority.
@@ -29,7 +30,10 @@ STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
 
 # BPE-ish token regex: lowercase runs, uppercase-led runs, digit runs,
 # single punctuation — a deterministic approximation of byte-pair chunking.
-TOKEN_REGEX = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]"
+# The whitespace exclusion interpolates dedup.WS_CLASS, never \s: this
+# string runs under BOTH Java regex (Spark) and RE2 (the DuckDB mirror in
+# queries_ext), whose \s definitions differ on \x0B.
+TOKEN_REGEX = rf"[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9{WS_CLASS[1:-1]}]"
 
 
 def ws_token_count(text: Column) -> Column:
@@ -96,7 +100,7 @@ def quality_from_tokens(
     # regexp strip, not trim(): a trailing newline must not inflate the
     # numerator (trim is space-only in both engines; oracle mirrors this)
     avg_len = F.when(n == 0, F.lit(0.0)).otherwise(
-        F.length(F.regexp_replace(text, r"^\s+|\s+$", "")) / n
+        F.length(F.regexp_replace(text, WS_EDGE, "")) / n
     )
     score = (
         F.lit(0.5) * F.least(n / F.lit(100.0), F.lit(1.0))

@@ -22,16 +22,22 @@ PERMS = dedup.minhash_perms(16)
 
 # DuckDB mirrors of the token/shingle pipeline ------------------------------
 
+# RE2-side whitespace = the SAME explicit class the Spark tokenizer uses
+# (dedup.WS_CLASS — see its comment: \s is engine-defined, and RE2 omits
+# \x0B where Java regex includes it). Interpolated into every SQL mirror
+# below; never write \s in these strings.
+_WS = dedup.WS_CLASS
+_SQL_STRIPPED = f"regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g')"
+
 _SQL_TOKS = (
     # boundary whitespace is stripped with a REGEXP (trim() is space-only
     # in both engines): without it "hello\n" tokenizes to 2 tokens — the
     # same bug the Spark side (dedup.tokens_col) fixes, mirrored here so
     # the engines keep agreeing on the CORRECT semantics
-    "CASE WHEN text IS NULL "
-    "OR length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 "
-    "THEN []::VARCHAR[] "
-    "ELSE string_split_regex("
-    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END"
+    f"CASE WHEN text IS NULL "
+    f"OR length({_SQL_STRIPPED}) = 0 "
+    f"THEN []::VARCHAR[] "
+    f"ELSE string_split_regex({_SQL_STRIPPED}, '{_WS}+') END"
 )
 _SQL_FNV_TOKEN = FNV_SQL.format(col="t")
 
@@ -84,8 +90,8 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_STATS = rf"""
 SELECT doc_id,
-  CASE WHEN text IS NULL OR length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
-       ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END::INT AS n_ws,
+  CASE WHEN text IS NULL OR length({_SQL_STRIPPED}) = 0 THEN 0
+       ELSE len(string_split_regex({_SQL_STRIPPED}, '{_WS}+')) END::INT AS n_ws,
   coalesce(len(regexp_extract_all(text, '{textstats.TOKEN_REGEX}')), 0)::INT AS n_re
 FROM documents ORDER BY doc_id
 """
@@ -115,8 +121,8 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CORPUS_STATS = rf"""
 WITH c AS (
-  SELECT CASE WHEN text IS NULL OR length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
-              ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n
+  SELECT CASE WHEN text IS NULL OR length({_SQL_STRIPPED}) = 0 THEN 0
+              ELSE len(string_split_regex({_SQL_STRIPPED}, '{_WS}+')) END AS n
   FROM documents
 )
 SELECT count(*) AS n_docs, sum(n)::BIGINT AS total_tokens,
@@ -201,7 +207,7 @@ WITH base AS (
                               t -> t IN ({_STOPS})))::DOUBLE / len(toks)
     END AS stop_ratio,
     CASE WHEN len(toks) = 0 THEN 0.0
-         ELSE length(regexp_replace(text, '^\s+|\s+$', '', 'g'))::DOUBLE / len(toks) END AS avg_len
+         ELSE length({_SQL_STRIPPED})::DOUBLE / len(toks) END AS avg_len
   FROM base
 )
 SELECT doc_id,
@@ -252,7 +258,7 @@ WITH base AS (
                               t -> t IN ({_STOPS})))::DOUBLE / len(toks)
     END AS stop_ratio,
     CASE WHEN len(toks) = 0 THEN 0.0
-         ELSE length(regexp_replace(text, '^\s+|\s+$', '', 'g'))::DOUBLE / len(toks) END AS avg_len,
+         ELSE length({_SQL_STRIPPED})::DOUBLE / len(toks) END AS avg_len,
     {_CURATE_LANGS["en"]} AS s_en, {_CURATE_LANGS["de"]} AS s_de,
     {_CURATE_LANGS["fr"]} AS s_fr, {_CURATE_LANGS["es"]} AS s_es
   FROM base
@@ -300,8 +306,8 @@ WITH sh AS (
   SELECT doc_id,
     list_distinct(list_transform(range(1, len(t)-1),
                                  i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
-  FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
-        FROM documents WHERE text IS NOT NULL AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
+  FROM (SELECT doc_id, string_split_regex({_SQL_STRIPPED}, '{_WS}+') AS t
+        FROM documents WHERE text IS NOT NULL AND length({_SQL_STRIPPED}) > 0)
   WHERE len(t) >= 3
 ), b AS (
   SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 101 = 0)
@@ -433,13 +439,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_NGRAM_JACCARD_PAIRS = r"""
+SQL_NGRAM_JACCARD_PAIRS = rf"""
 WITH sh AS (
   SELECT doc_id,
     list_distinct(list_transform(range(1, len(t)-1),
                                  i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
-  FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
-        FROM documents WHERE text IS NOT NULL AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
+  FROM (SELECT doc_id, string_split_regex({_SQL_STRIPPED}, '{_WS}+') AS t
+        FROM documents WHERE text IS NOT NULL AND length({_SQL_STRIPPED}) > 0)
   WHERE len(t) >= 3
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -568,8 +574,8 @@ sh AS (
   SELECT doc_id,
     list_distinct(list_transform(range(1, len(t)-1),
                                  i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
-  FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
-        FROM documents WHERE text IS NOT NULL AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
+  FROM (SELECT doc_id, string_split_regex({_SQL_STRIPPED}, '{_WS}+') AS t
+        FROM documents WHERE text IS NOT NULL AND length({_SQL_STRIPPED}) > 0)
   WHERE len(t) >= 3
 )
 SELECT c.id_a, c.id_b,
@@ -795,8 +801,8 @@ def _sql_sh(src: str) -> str:
   SELECT doc_id,
     list_distinct(list_transform(range(1, len(t)-1),
                                  i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
-  FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
-        FROM {src} WHERE text IS NOT NULL AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
+  FROM (SELECT doc_id, string_split_regex({_SQL_STRIPPED}, '{_WS}+') AS t
+        FROM {src} WHERE text IS NOT NULL AND length({_SQL_STRIPPED}) > 0)
   WHERE len(t) >= 3
 """
 
@@ -814,7 +820,7 @@ def _sql_curate_neardup_ctes() -> str:
                               t -> t IN ({_STOPS})))::DOUBLE / len(toks)
     END AS stop_ratio,
     CASE WHEN len(toks) = 0 THEN 0.0
-         ELSE length(regexp_replace(text, '^\s+|\s+$', '', 'g'))::DOUBLE / len(toks) END AS avg_len,
+         ELSE length({_SQL_STRIPPED})::DOUBLE / len(toks) END AS avg_len,
     {_CURATE_LANGS["en"]} AS s_en, {_CURATE_LANGS["de"]} AS s_de,
     {_CURATE_LANGS["fr"]} AS s_fr, {_CURATE_LANGS["es"]} AS s_es
   FROM cbase
@@ -987,8 +993,8 @@ sh AS (
   SELECT doc_id,
     list_distinct(list_transform(range(1, len(t)-1),
                                  i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
-  FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
-        FROM documents WHERE text IS NOT NULL AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
+  FROM (SELECT doc_id, string_split_regex({_SQL_STRIPPED}, '{_WS}+') AS t
+        FROM documents WHERE text IS NOT NULL AND length({_SQL_STRIPPED}) > 0)
   WHERE len(t) >= 3
 ),
 vpairs AS (

@@ -37,6 +37,13 @@ ROWS = [
     (7, "a\nb\n"),             # wc -l convention: 2 lines
     (8, "x\n\n\n"),            # 3 lines (interior blanks count), 1 dup
     (9, "one\ttwo\nthree four"),
+    # \x0B (vertical tab): Java regex \s INCLUDES it, RE2 (DuckDB) \s
+    # does NOT — the explicit WS_CLASS both engines now interpolate must
+    # make them agree that it is whitespace (these rows fail against any
+    # \s-shorthand mirror)
+    (10, "a\x0Bb"),            # 2 tokens, 1 line
+    (11, "\x0Bx\x0B"),         # 1 token despite \x0B boundaries
+    (12, "\x0B"),              # whitespace-only: 0 tokens
 ]
 
 
@@ -82,7 +89,10 @@ def test_ws_token_counts_pinned_and_mirrored(spark, duck, corpus_dir):
     got, want = _both(spark, duck, corpus_dir, q_token_stats, SQL_TOKEN_STATS)
     assert got == want
     n_ws = {int(r[0]): int(r[1]) for r in got}
-    assert n_ws == {0: 2, 1: 1, 2: 0, 3: 0, 4: 3, 5: 0, 6: 0, 7: 2, 8: 1, 9: 4}
+    assert n_ws == {
+        0: 2, 1: 1, 2: 0, 3: 0, 4: 3, 5: 0, 6: 0, 7: 2, 8: 1, 9: 4,
+        10: 2, 11: 1, 12: 0,
+    }
 
 
 def test_line_counts_pinned_and_mirrored(spark, duck, corpus_dir):
@@ -92,7 +102,10 @@ def test_line_counts_pinned_and_mirrored(spark, duck, corpus_dir):
     assert got == want
     by_id = {int(r[0]): r for r in got}
     n_lines = {k: int(v[1]) for k, v in by_id.items()}
-    assert n_lines == {0: 1, 1: 1, 2: 1, 3: 2, 4: 1, 5: 0, 6: 0, 7: 2, 8: 3, 9: 2}
+    assert n_lines == {
+        0: 1, 1: 1, 2: 1, 3: 2, 4: 1, 5: 0, 6: 0, 7: 2, 8: 3, 9: 2,
+        10: 1, 11: 1, 12: 1,
+    }
     # "\n\n" = two empty lines, one a duplicate of the other
     assert int(by_id[3][2]) == 5000
     # "x\n\n\n" = [x, '', ''] — one duplicate among three lines
@@ -105,7 +118,7 @@ def test_quality_scores_mirrored_on_boundary_ws(spark, duck, corpus_dir):
     )
     assert got == want
     q4 = {int(r[0]): r for r in got}
-    for empty_doc in (2, 3, 5, 6):  # zero tokens ⇒ quality exactly 0
+    for empty_doc in (2, 3, 5, 6, 12):  # zero tokens ⇒ quality exactly 0
         assert int(q4[empty_doc][-1]) == 0
 
 

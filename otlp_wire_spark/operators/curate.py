@@ -74,7 +74,9 @@ def score_documents(
     would re-run the regex split per reference — ~10× per row)."""
     t = F.col(text_col)
     tokd = df.withColumn("_toks", textstats.tokens_norm_col(t)).withColumn(
-        "_tl", F.transform(F.col("_toks"), F.lower)
+        # ascii_lower, not F.lower: membership tests against ASCII word
+        # lists must fold identically in both engines (see textstats)
+        "_tl", F.transform(F.col("_toks"), textstats.ascii_lower)
     )
     return (
         tokd.withColumn("pred_lang", textstats.lang_id_from_tokens(F.col("_tl")))

@@ -28,6 +28,21 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
 
+# ASCII-only case folding for membership tests against the ASCII word
+# lists above. NEVER lower()/F.lower() in a cross-engine expression:
+# unicode lowercasing is engine-defined — Spark (JDK rules) lowers final
+# sigma contextually (ΑΣ→ας) where DuckDB (utf8proc) does not (→ασ), and
+# DuckDB folds İ (U+0130) to plain ASCII 'i' where Spark emits i+U+0307 —
+# so "İN" would count as the stopword "in" in exactly one engine.
+# translate() is per-codepoint and identical in Java, DuckDB and Python.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: Column) -> Column:
+    return F.translate(col, ASCII_UPPER, ASCII_LOWER)
+
+
 # BPE-ish token regex: lowercase runs, uppercase-led runs, digit runs,
 # single punctuation — a deterministic approximation of byte-pair chunking.
 # The whitespace exclusion interpolates dedup.WS_CLASS, never \s: this
@@ -56,9 +71,9 @@ def regex_token_count(text: Column) -> Column:
 def lang_id_col(text: Column) -> Column:
     """Argmax of marker-word overlap; ties → earlier key in LANG_MARKERS,
     all-zero → 'unknown'. Thin wrapper over ``lang_id_from_tokens`` —
-    ONE argmax chain, nothing to drift (lowering before tokenizing equals
-    lowering each token: case never touches whitespace)."""
-    return lang_id_from_tokens(tokens_norm_col(F.lower(text)))
+    ONE argmax chain, nothing to drift (folding before tokenizing equals
+    folding each token: case never touches whitespace)."""
+    return lang_id_from_tokens(tokens_norm_col(ascii_lower(text)))
 
 
 def tokens_norm_col(text: Column) -> Column:
@@ -115,7 +130,7 @@ def stopword_ratio(text: Column) -> Column:
     Unrounded: rounding of ratio-of-small-ints values (e.g. 3/32) is
     engine-dependent at the half boundary — quantize only at the edge with
     ``quantize4``."""
-    toks_lower = tokens_norm_col(F.lower(text))
+    toks_lower = tokens_norm_col(ascii_lower(text))
     n = F.size(tokens_norm_col(text))
     hits = F.size(F.filter(toks_lower, lambda t: t.isin(*STOPWORDS_EN)))
     return F.when(n == 0, F.lit(0.0)).otherwise(hits / n).cast("double")
@@ -128,7 +143,7 @@ def quality_score(text: Column) -> Column:
     this convenience form re-tokenizes per reference (see tokens_norm_col
     for the materialize-once discipline on hot paths)."""
     return quality_from_tokens(
-        text, tokens_norm_col(text), tokens_norm_col(F.lower(text))
+        text, tokens_norm_col(text), tokens_norm_col(ascii_lower(text))
     )
 
 

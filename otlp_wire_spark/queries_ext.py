@@ -179,11 +179,20 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPS = ", ".join(f"'{w}'" for w in textstats.STOPWORDS_EN)
 
 
+# ASCII-only case folding, mirroring textstats.ascii_lower — never SQL
+# lower(): utf8proc and the JDK disagree on İ and final sigma (see the
+# textstats comment), and membership against ASCII word lists must fold
+# identically in both engines.
+_SQL_ALOWER = (
+    f"translate(t, '{textstats.ASCII_UPPER}', '{textstats.ASCII_LOWER}')"
+)
+
+
 def _sql_lang_score_expr(words: list[str], toks_expr: str) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return (
         "len(list_intersect(list_distinct(list_transform("
-        f"{toks_expr}, t -> lower(t))), [{lst}]))"
+        f"{toks_expr}, t -> {_SQL_ALOWER})), [{lst}]))"
     )
 
 
@@ -203,7 +212,7 @@ WITH base AS (
     {_LANG_SCORES_TOKS["en"]} AS s_en, {_LANG_SCORES_TOKS["de"]} AS s_de,
     {_LANG_SCORES_TOKS["fr"]} AS s_fr, {_LANG_SCORES_TOKS["es"]} AS s_es,
     CASE WHEN len(toks) = 0 THEN 0.0
-         ELSE len(list_filter(list_transform(toks, t -> lower(t)),
+         ELSE len(list_filter(list_transform(toks, t -> {_SQL_ALOWER}),
                               t -> t IN ({_STOPS})))::DOUBLE / len(toks)
     END AS stop_ratio,
     CASE WHEN len(toks) = 0 THEN 0.0
@@ -254,7 +263,7 @@ WITH base AS (
 ), stats AS (
   SELECT doc_id, text, len(toks) AS n_tokens,
     CASE WHEN len(toks) = 0 THEN 0.0
-         ELSE len(list_filter(list_transform(toks, t -> lower(t)),
+         ELSE len(list_filter(list_transform(toks, t -> {_SQL_ALOWER}),
                               t -> t IN ({_STOPS})))::DOUBLE / len(toks)
     END AS stop_ratio,
     CASE WHEN len(toks) = 0 THEN 0.0
@@ -816,7 +825,7 @@ def _sql_curate_neardup_ctes() -> str:
 ), cstats AS (
   SELECT doc_id, text, len(toks) AS n_tokens,
     CASE WHEN len(toks) = 0 THEN 0.0
-         ELSE len(list_filter(list_transform(toks, t -> lower(t)),
+         ELSE len(list_filter(list_transform(toks, t -> {_SQL_ALOWER}),
                               t -> t IN ({_STOPS})))::DOUBLE / len(toks)
     END AS stop_ratio,
     CASE WHEN len(toks) = 0 THEN 0.0

@@ -44,6 +44,12 @@ ROWS = [
     (10, "a\x0Bb"),            # 2 tokens, 1 line
     (11, "\x0Bx\x0B"),         # 1 token despite \x0B boundaries
     (12, "\x0B"),              # whitespace-only: 0 tokens
+    # unicode casing: JDK lower() folds İ→i+U+0307 and ΑΣ→ας (contextual
+    # final sigma) where utf8proc gives istanbul/ασ — so "İN" counts as
+    # the stopword "in" in exactly one engine. ascii_lower (translate)
+    # makes membership folding identical by construction; this row fails
+    # against any lower()-based scorer or mirror.
+    (13, "İN the ΑΣ of"),      # 4 tokens; 2 stopword hits in BOTH engines
 ]
 
 
@@ -91,7 +97,7 @@ def test_ws_token_counts_pinned_and_mirrored(spark, duck, corpus_dir):
     n_ws = {int(r[0]): int(r[1]) for r in got}
     assert n_ws == {
         0: 2, 1: 1, 2: 0, 3: 0, 4: 3, 5: 0, 6: 0, 7: 2, 8: 1, 9: 4,
-        10: 2, 11: 1, 12: 0,
+        10: 2, 11: 1, 12: 0, 13: 4,
     }
 
 
@@ -104,7 +110,7 @@ def test_line_counts_pinned_and_mirrored(spark, duck, corpus_dir):
     n_lines = {k: int(v[1]) for k, v in by_id.items()}
     assert n_lines == {
         0: 1, 1: 1, 2: 1, 3: 2, 4: 1, 5: 0, 6: 0, 7: 2, 8: 3, 9: 2,
-        10: 1, 11: 1, 12: 1,
+        10: 1, 11: 1, 12: 1, 13: 1,
     }
     # "\n\n" = two empty lines, one a duplicate of the other
     assert int(by_id[3][2]) == 5000
@@ -120,6 +126,11 @@ def test_quality_scores_mirrored_on_boundary_ws(spark, duck, corpus_dir):
     q4 = {int(r[0]): r for r in got}
     for empty_doc in (2, 3, 5, 6, 12):  # zero tokens ⇒ quality exactly 0
         assert int(q4[empty_doc][-1]) == 0
+    # row 13 "İN the ΑΣ of": ascii_lower makes 'İN' a NON-stopword in both
+    # engines (JDK lower() would miss 'in', utf8proc would hit it) — so
+    # stop_ratio is exactly 2/4 and quality_q4 is the pinned 2300
+    # (0.5·4/100 + 0.3·(1−0.5) + 0.2·3/10); pred_lang 'en' via the+of
+    assert q4[13][1] == "en" and int(q4[13][-1]) == 2300, q4[13]
 
 
 def test_vocab_sees_no_phantom_empty_token(spark, duck, corpus_dir):

@@ -50,6 +50,10 @@ ROWS = [
     # makes membership folding identical by construction; this row fails
     # against any lower()-based scorer or mirror.
     (13, "İN the ΑΣ of"),      # 4 tokens; 2 stopword hits in BOTH engines
+    # supplementary-plane + combining chars: Java regex and RE2 must both
+    # treat 👍 (U+1F44D) and 🏽 (U+1F3FD) as ONE code point each in the
+    # BPE-ish [^...] class, and length() must count code points (10 here)
+    (14, "héllo… 👍🏽!"),       # 2 ws tokens; n_re pinned cross-engine
 ]
 
 
@@ -97,7 +101,7 @@ def test_ws_token_counts_pinned_and_mirrored(spark, duck, corpus_dir):
     n_ws = {int(r[0]): int(r[1]) for r in got}
     assert n_ws == {
         0: 2, 1: 1, 2: 0, 3: 0, 4: 3, 5: 0, 6: 0, 7: 2, 8: 1, 9: 4,
-        10: 2, 11: 1, 12: 0, 13: 4,
+        10: 2, 11: 1, 12: 0, 13: 4, 14: 2,
     }
 
 
@@ -110,7 +114,7 @@ def test_line_counts_pinned_and_mirrored(spark, duck, corpus_dir):
     n_lines = {k: int(v[1]) for k, v in by_id.items()}
     assert n_lines == {
         0: 1, 1: 1, 2: 1, 3: 2, 4: 1, 5: 0, 6: 0, 7: 2, 8: 3, 9: 2,
-        10: 1, 11: 1, 12: 1, 13: 1,
+        10: 1, 11: 1, 12: 1, 13: 1, 14: 1,
     }
     # "\n\n" = two empty lines, one a duplicate of the other
     assert int(by_id[3][2]) == 5000
@@ -131,6 +135,10 @@ def test_quality_scores_mirrored_on_boundary_ws(spark, duck, corpus_dir):
     # stop_ratio is exactly 2/4 and quality_q4 is the pinned 2300
     # (0.5·4/100 + 0.3·(1−0.5) + 0.2·3/10); pred_lang 'en' via the+of
     assert q4[13][1] == "en" and int(q4[13][-1]) == 2300, q4[13]
+    # row 14: 2 tokens, 0 stopwords, 10 code points → 0.5·0.02 + 0.3·1 +
+    # 0.2·0.5 = 0.41 → 4100; both engines must count the emoji sequence
+    # as code points, not graphemes or UTF-16 units
+    assert q4[14][1] == "unknown" and int(q4[14][-1]) == 4100, q4[14]
 
 
 def test_vocab_sees_no_phantom_empty_token(spark, duck, corpus_dir):

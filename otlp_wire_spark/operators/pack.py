@@ -49,33 +49,26 @@ def _bucket_bounds(df: DataFrame, id_col: str, parts: int) -> list:
     """Approximate id boundary literals — balance only, never correctness
     (any boundary set yields exact prefix sums; skewed buckets just skew
     work). Numeric ids use approxQuantile; other orderable ids (strings)
-    use a seeded reservoir sample — both are collected ONCE and become
-    literals, so bucket assignment stays a pure function of the row.
-    Errors propagate: silently collapsing to one bucket would serialize
-    the pass-2 window into a single task at scale."""
+    use a hash-order top-k sample (detsample.hash_order_sample) — both
+    are collected ONCE and become literals, so bucket assignment stays a
+    pure function of the row (two-job-consistency rule; NEVER a seeded
+    reservoir/rand sample, which depends on partition layout). Errors
+    propagate: silently collapsing to one bucket would serialize the
+    pass-2 window into a single task at scale."""
     from pyspark.sql.types import NumericType
 
     field = df.schema[id_col]
     if isinstance(field.dataType, NumericType):
         probs = [i / parts for i in range(1, parts)]
         return sorted(set(df.stat.approxQuantile(id_col, probs, 0.001)))
-    # hash-order top-k: xxhash64(id) is ~uniform, so the k smallest-hash
-    # ids are an effectively random sample — but DERIVED FROM THE DATA
-    # (two-job-consistency rule; a rand(seed) order depends on physical
-    # partition indexes), fully parallel (TakeOrdered, no full sort), and
-    # Tungsten-side (the old .rdd.takeSample paid a Python serialization
-    # round-trip of the sampled partitions).
+    from otlp_wire_spark.detsample import hash_order_sample
+
     limit = parts * 20
     base = (
         df.select(id_col)
         .where(F.col(id_col).isNotNull())
     )
-    rows = [
-        r[0]
-        for r in base.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(limit)
-        .collect()
-    ]
+    rows = [r[0] for r in hash_order_sample(base, id_col, limit)]
     # xxhash64 is a function of the VALUE, so duplicated ids share one
     # hash and a heavy hitter can fill the page with copies of itself —
     # dedupe before stepping, and only if a FULL page still collapsed to
@@ -87,11 +80,7 @@ def _bucket_bounds(df: DataFrame, id_col: str, parts: int) -> list:
     sample = sorted(set(rows))
     if len(rows) == limit and len(sample) <= parts:
         sample = sorted(
-            r[0]
-            for r in base.distinct()
-            .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-            .limit(limit)
-            .collect()
+            r[0] for r in hash_order_sample(base.distinct(), id_col, limit)
         )
     if not sample:
         return []

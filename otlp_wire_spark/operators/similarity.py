@@ -228,13 +228,17 @@ def ivf_centroids_from_sample(
     sample vectors than centroids) fall back to ``ivf_centroids``."""
     import numpy as np
 
-    rows = (
-        corpus.select(id_col, vec_col)
-        .where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim))
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(sample_size)
-        .collect()
+    from otlp_wire_spark.detsample import hash_order_sample
+
+    valid = corpus.select(id_col, vec_col).where(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == dim)
+        # element-level nulls would TypeError in float() on the driver —
+        # filter them executor-side so the sample stays full-size (a
+        # Python-side skip could starve the sample below n_centroids)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
     )
+    rows = hash_order_sample(valid, id_col, sample_size)
     X = np.array([list(map(float, r[1])) for r in rows], dtype=np.float64)
     if len(X):
         norms = np.linalg.norm(X, axis=1)
@@ -416,21 +420,26 @@ def ivf_ann_topk(
             "ivf_n_centroids": len(cents),
             "ivf_quantizer": _cent_fingerprint(cents),
         }
-        # compare only keys the table carries — except that a table with
-        # dim/n_centroids but NO quantizer fingerprint predates the stamp
-        # and was necessarily built with the synthetic ivf_centroids
-        # quantizer, so its fingerprint is reconstructible: without this,
-        # custom trained centroids at matching dim/n_centroids would
-        # silently join cell ids across two different quantizers
+        # A table with dim/n_centroids but NO quantizer fingerprint
+        # predates the stamp and was necessarily built with the synthetic
+        # ivf_centroids quantizer, so its fingerprint is reconstructible:
+        # without this, custom trained centroids at matching
+        # dim/n_centroids would silently join cell ids across two
+        # different quantizers. ANY OTHER incomplete stamp is an error,
+        # not a pass — skipping the absent keys would let e.g. a
+        # dim-only stamp join cell ids across quantizers unchecked.
         got = {k: meta.get(k) for k in want if meta.get(k) is not None}
-        if (
-            "ivf_quantizer" not in got
-            and "ivf_dim" in got
-            and "ivf_n_centroids" in got
-        ):
-            got["ivf_quantizer"] = _cent_fingerprint(
-                ivf_centroids(got["ivf_dim"], got["ivf_n_centroids"])
-            )
+        if got and "ivf_quantizer" not in got:
+            if set(got) == {"ivf_dim", "ivf_n_centroids"}:
+                got["ivf_quantizer"] = _cent_fingerprint(
+                    ivf_centroids(got["ivf_dim"], got["ivf_n_centroids"])
+                )
+            else:
+                raise ValueError(
+                    "ivf_ann_topk: assigned cell table carries a partial "
+                    f"quantizer stamp {got} — cannot prove it matches this "
+                    "query's quantizer. Rebuild with ivf_assign_cells."
+                )
         if got and any(got[k] != want[k] for k in got):
             raise ValueError(
                 f"ivf_ann_topk: assigned cell table was built with {got}, "

@@ -188,8 +188,11 @@ def admit_epoch(
     attempt of the same epoch may have written ``epoch=<id>`` index rows
     before dying pre-checkpoint-commit; seeing them would make the batch
     collide with itself (validate_ids raises forever / the epoch rewrites
-    empty — see _read_index). All three writes then epoch-overwrite, so a
-    re-run converges to the identical committed state."""
+    empty — see _read_index). All four epoch-keyed writes (admitted docs,
+    fingerprints, shingles, bands) then epoch-overwrite, so a re-run
+    converges to the identical committed state; the one non-epoch write —
+    the band BACKFILL partition for a pre-band-layout index — has its own
+    exclude-then-overwrite protocol (below) and is likewise idempotent."""
     from otlp_wire_spark.operators.curate import incremental_curate
 
     if batch_df.isEmpty():

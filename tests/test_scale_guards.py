@@ -220,6 +220,40 @@ def test_ivf_fingerprintless_assigned_guards_trained_centroids(spark, vectors):
     assert out
 
 
+def test_ivf_partial_stamp_rejected(spark, vectors):
+    """An assigned table whose stamp is incomplete in any shape OTHER than
+    the reconstructible legacy (dim+n_centroids, no fingerprint) cannot
+    prove quantizer identity — it must raise, not silently compare only
+    the keys it happens to carry (a dim-only stamp would otherwise join
+    cell ids across different quantizers unchecked)."""
+    assigned = similarity.ivf_assign_cells(vectors, dim=8, n_centroids=4)
+    meta = dict(assigned.schema["cell"].metadata)
+    partial = assigned.withMetadata("cell", {"ivf_dim": meta["ivf_dim"]})
+    with pytest.raises(ValueError, match="partial"):
+        similarity.ivf_ann_topk(
+            vectors, vectors.where(F.col("vec_id") < 2), dim=8, k=2,
+            n_centroids=4, assigned=partial,
+        )
+
+
+def test_trained_quantizer_sample_tolerates_null_elements(spark, vectors):
+    """An embedding array with a NULL ELEMENT (right length, non-null
+    column) must be filtered executor-side, not TypeError in float() on
+    the driver mid-training."""
+    bad = spark.createDataFrame(
+        [(999, [0.1, None, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity.ivf_centroids_from_sample(
+        vectors.unionByName(bad), dim=8, n_centroids=4
+    )
+    assert len(cents) == 4
+    # and the null-element row did not poison determinism vs the clean set
+    assert cents == similarity.ivf_centroids_from_sample(
+        vectors, dim=8, n_centroids=4
+    )
+
+
 def test_bucket_bounds_survive_duplicated_string_ids(spark):
     """xxhash64 is a function of the VALUE: heavily duplicated ids share
     one hash, so a hot id can fill the whole hash-order sample page with

@@ -47,5 +47,8 @@ def persist_into(df: DataFrame, registry: list, eager: bool = False) -> DataFram
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     registry.append(out)
     if eager:
-        out.count()
+        # stash the materialization count on the handle: callers that need
+        # a row-count UPPER BOUND (e.g. broadcast-hint gates) read it back
+        # instead of paying a second count() job (ADVICE r5)
+        out._spark_graft_rows = out.count()
     return out

@@ -56,16 +56,29 @@ def host_idx_col(idc: Column) -> Column:
     ).cast("int")
 
 
+# The word soup is a CONTIGUOUS span of the cyclic word list (word k of a
+# page is WORDS[(id+k) % 16]), so the joined text is a substring of the
+# doubled space-joined constant — one codegen'd substring per row instead
+# of an interpreted per-element transform + array_join (HOFs are
+# CodegenFallback; this was the dominant per-row cost of page generation).
+# _WORD_STARTS[i] = char offset of word i in the doubled constant; the span
+# s..s+n-1 is [starts[s], starts[s+n]-1) (the -1 drops the separator).
+_WORDS_DOUBLED = " ".join(WORDS * 2)
+_WORD_STARTS: list[int] = [0]
+for _w in WORDS * 2:
+    _WORD_STARTS.append(_WORD_STARTS[-1] + len(_w) + 1)
+
+
 def text_col(idc: Column) -> Column:
-    """Deterministic word soup; NULL on id%199==0, '' on id%211==0."""
-    n_words = (idc % 12) + 1
-    words = F.transform(
-        F.sequence(F.lit(0), n_words - 1),
-        lambda k: F.element_at(
-            F.array(*[F.lit(w) for w in WORDS]), ((idc + k) % 16 + 1).cast("int")
-        ),
-    )
-    joined = F.array_join(words, " ")
+    """Deterministic word soup; NULL on id%199==0, '' on id%211==0.
+    Byte-identical to the original transform-over-sequence formulation
+    (pinned by the fixture-parity tests) — see _WORDS_DOUBLED above."""
+    n_words = ((idc % 12) + 1).cast("int")
+    s = (idc % 16).cast("int")
+    starts = F.array(*[F.lit(x) for x in _WORD_STARTS])
+    a = F.element_at(starts, s + 1)
+    b = F.element_at(starts, s + n_words + 1)
+    joined = F.substring(F.lit(_WORDS_DOUBLED), a + 1, b - a - 1)
     return (
         F.when(idc % 199 == 0, F.lit(None).cast("string"))
         .when(idc % 211 == 0, F.lit(""))
@@ -162,13 +175,14 @@ def _html_str(idc: Column) -> Column:
             )
         )
     )
+    # the rec block is a PREFIX of a 10-rec constant (each "<rec>rJ</rec>"
+    # is 13 chars, J single-digit) — substring beats the interpreted
+    # transform + array_join (HOFs are CodegenFallback); byte-identical
     nrec = (idc % 10) + 1
-    recs = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), nrec - 1),
-            lambda j: F.concat(F.lit("<rec>r"), j.cast("string"), F.lit("</rec>")),
-        ),
-        "",
+    recs = F.substring(
+        F.lit("".join(f"<rec>r{j}</rec>" for j in range(10))),
+        1,
+        (nrec * 13).cast("int"),
     )
     txt = text_col(idc)
     text_block = F.when(txt.isNull(), F.lit("")).otherwise(

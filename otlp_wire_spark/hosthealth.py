@@ -118,9 +118,12 @@ def section_verdict(before: dict, after: dict) -> dict:
     # unknown-steal fallback above, instead of a TypeError that would
     # abort the harness AFTER the timed work completed
     known_c = [c for c in controls if c is not None]
+    # a zero control pair (degenerate/hand-built stamp) is treated like a
+    # missing one — steal-only verdict — instead of a ZeroDivisionError
+    # after the timed work completed (ADVICE r5)
     drift = (
         abs(controls[1] - controls[0]) / max(known_c)
-        if len(known_c) == 2
+        if len(known_c) == 2 and max(known_c) > 0
         else None
     )
     return {

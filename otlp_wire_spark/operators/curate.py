@@ -201,8 +201,11 @@ def incremental_curate(
       only accept for one-off calls without a maintained index.
     - ``broadcast_key_limit``: the batch-derived key sets (bucket keys,
       candidate ids) are broadcast into the corpus-index joins only when
-      their MEASURED row count is at most this (counting reads the warm
-      batch-side caches — no extra scan). A huge batch (say 10^8 docs)
+      their MEASURED row count is at most this. The measurement is free in
+      the common case: the eager persists already counted their caches and
+      the key sets are subsets of those rows, so the stashed counts serve
+      as upper bounds — an exact count() job runs only when a bound
+      exceeds the limit (ADVICE r5). A huge batch (say 10^8 docs)
       would blow Spark's 8 GB broadcast cap if the hint were forced, so
       above the limit the hint is dropped and the joins degrade to
       shuffles — proportionally fine exactly when the batch is that
@@ -302,12 +305,20 @@ def incremental_curate(
         )
     new_bands = persist_into(new_bands, _INCR_CACHES, eager=True)
 
-    def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    def _maybe_broadcast(df: DataFrame, upper_bound: "int | None") -> DataFrame:
         # broadcast is a HINT we only apply when the measured size says it
         # fits comfortably — forcing it on a huge batch's key set would
         # bypass AQE's size check and die at Spark's 8 GB broadcast cap
-        # instead of degrading to a (proportionally fine) shuffle join
-        return F.broadcast(df) if n_rows <= broadcast_key_limit else df
+        # instead of degrading to a (proportionally fine) shuffle join.
+        # ``upper_bound`` is the parent cache's eager-materialization count
+        # (persist_into stashes it) — a superset bound on df's rows, free.
+        # Only when the BOUND exceeds the limit (a genuinely huge batch)
+        # pay one exact count of the (distinct, usually far smaller) key
+        # set before giving up on the hint (ADVICE r5: the two
+        # unconditional count() jobs per batch are gone).
+        if upper_bound is not None and upper_bound <= broadcast_key_limit:
+            return F.broadcast(df)
+        return F.broadcast(df) if df.count() <= broadcast_key_limit else df
 
     if existing_bands is None:
         # no maintained band index: recompute corpus signatures from the
@@ -319,10 +330,11 @@ def incremental_curate(
     # bucket keys (≤ |new|·bands rows, broadcast when measured-small);
     # only matched buckets ever shuffle. Old-only buckets can't contribute
     # a candidate whose higher member is new, so skipping them is exact.
-    # The count reads the warm new_bands cache — one tiny job, no rescan.
+    # The broadcast gate reads the eager persist's stashed count — an
+    # upper bound on the distinct key count, no extra job.
     new_keys = new_bands.select("band", "band_sig").distinct()
     matched_old = existing_bands.select("id", "band", "band_sig").join(
-        _maybe_broadcast(new_keys, new_keys.count()),
+        _maybe_broadcast(new_keys, getattr(new_bands, "_spark_graft_rows", None)),
         ["band", "band_sig"],
         "left_semi",
     )
@@ -344,13 +356,17 @@ def incremental_curate(
     # the sh_b side reads the batch's own cached shingle table — building
     # it from the union would pay a second full index scan per batch
     # whose old rows the id_b join then discards. The id_a set semi-joins
-    # INTO the index (pushdown scan, broadcast when measured-small —
-    # cand_new is already persisted, so the count is a cache-only job).
+    # INTO the index (pushdown scan, broadcast when measured-small — the
+    # gate reads cand_new's stashed materialization count, no extra job).
     need = cand_new.select(F.col("id_a").alias("id")).distinct()
     sh = (
         existing_shingles.select("id", "sh")
         .unionByName(fresh_sh)
-        .join(_maybe_broadcast(need, need.count()), "id", "left_semi")
+        .join(
+            _maybe_broadcast(need, getattr(cand_new, "_spark_graft_rows", None)),
+            "id",
+            "left_semi",
+        )
         .where(F.size("sh") > 0)
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))

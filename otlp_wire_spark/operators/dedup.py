@@ -942,6 +942,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    broadcast_label_limit: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over verified duplicate pairs → ``(id, rep)``
     with ``rep`` the component's minimum id — the CLUSTER dedup semantics
@@ -969,24 +970,40 @@ def dedup_clusters(
     swap for ``checkpoint()`` with a reliable checkpoint dir (executor
     loss discards localCheckpoint blocks). Raises after ``max_iter``
     rounds rather than silently returning unconverged labels.
+
+    Per-round join strategy is gated on a MEASURED node count (rides the
+    initial checkpoint job as an Observation — no extra action): when the
+    label table fits (``broadcast_label_limit``), the labels/hop sides of
+    the two per-round joins are broadcast, so a round pays exactly ONE
+    exchange (the min-label groupBy) instead of three — the edge table is
+    never re-shuffled per round. Past the limit (billion-node graphs) the
+    hint is dropped and both joins degrade to shuffles, proportionally
+    fine at that size. The hint changes join strategy only, never values.
     """
     from pyspark import StorageLevel
+    from pyspark.sql import Observation
 
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = fwd.union(rev).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    obs0 = Observation("cc_nodes")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("rep", F.col("id"))
+        .observe(obs0, F.count(F.lit(1)).alias("n_nodes"))
         .localCheckpoint()
     )
+    n_nodes = int(obs0.get["n_nodes"] or 0)
+    bcast = (
+        F.broadcast if n_nodes <= broadcast_label_limit else (lambda df: df)
+    )
     try:
-        from pyspark.sql import Observation
-
         for rounds in range(1, max_iter + 1):
             prop = (
-                edges.join(labels.withColumnRenamed("id", "src"), "src")
+                edges.join(
+                    bcast(labels.withColumnRenamed("id", "src")), "src"
+                )
                 .select(
                     F.col("dst").alias("id"), "rep",
                     F.lit(False).alias("_is_old"),
@@ -1017,7 +1034,7 @@ def dedup_clusters(
             )
             obs = Observation(f"cc_round_{rounds}")
             new_labels = (
-                stepped.join(hop, "rep", "left")
+                stepped.join(bcast(hop), "rep", "left")
                 .select(
                     "id",
                     F.coalesce(F.col("_rep2"), F.col("rep")).alias("rep"),

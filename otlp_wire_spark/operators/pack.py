@@ -104,7 +104,16 @@ def global_token_offsets(
     upstream) — or pass ``persist_input=True`` to have it persisted here
     with bounded cache generations (eagerly materialized, so all three
     passes read the cache; one previous generation stays alive for
-    build-all-then-execute flows, older ones retire)."""
+    build-all-then-execute flows, older ones retire).
+
+    DETERMINISM PRECONDITION (ADVICE r5): the window sorts by
+    ``(id_col, count_col)`` only, so with PAYLOAD columns present,
+    duplicate ``(id, count)`` rows that differ in a payload column take
+    their offsets in shuffle arrival order. Project ``df`` to
+    ``(id_col, count_col)`` (and join offsets back) when duplicate ids
+    with equal counts but distinct payloads are possible — with the
+    projection, tied rows are indistinguishable and the output set is
+    fully determined."""
     if persist_input:
         from otlp_wire_spark.cacheutil import persist_into, retire_oldest
 

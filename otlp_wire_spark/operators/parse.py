@@ -49,6 +49,26 @@ _DEPTH_RE = re.compile(r"depth:([^;]*);")
 MAX_NEST_DEPTH = 64  # reference recursion bound, attributes.go:95-97
 
 
+def _pushdown_barrier(col: Column) -> Column:
+    """Value-identity wrapper that stops the optimizer RE-EVALUATING an
+    expensive staged column inside pushed-down filter predicates — the
+    expression-path analog of ``udf.asNondeterministic()`` (the classic
+    duplicated-BatchEvalPython fix): ``element_at(shuffle(array(col)), 1)``
+    is always ``col`` (a 1-element array has one permutation), but
+    ``shuffle`` is nondeterministic, which makes the alias
+    non-substitutable, so PushDownPredicate keeps filters ABOVE the
+    projection instead of inlining the alias's whole defining expression
+    into the predicate. (A ``when(rand() >= -1, col)`` guard does NOT
+    work: Spark 4 bound-reasons Rand's [0,1) range and folds the branch
+    away.) Without this, ``quarantine_split`` after a parse pushed
+    ``isnull(parse_error)`` below the ``_ps`` projection and the
+    predicate re-derived the ENTIRE payload (generation + utf8 validation)
+    per row — measured ~1.5 s of the 2M-page pipeline trial (the filter
+    re-built html twice and re-validated once, on top of the projection's
+    own work). Codegen'd; costs one 1-element array allocation per row."""
+    return F.element_at(F.shuffle(F.array(col)), 1)
+
+
 def _scan_depth(body: str) -> tuple[int | None, str | None]:
     """(nest_depth, nest_error) for a paren-nested value body — the
     depth-64 recursion guard (P15, attributes.go:95-97) made iterative:
@@ -311,7 +331,9 @@ def parse_pages_expr(
             "staging names; rename them before parsing"
         )
     h = F.col(html_col)
-    staged = df.withColumn("_ps", F.expr(f"try_validate_utf8({html_col})"))
+    staged = df.withColumn(
+        "_ps", _pushdown_barrier(F.expr(f"try_validate_utf8({html_col})"))
+    )
     helpers = ["_ps"]
     s = F.col("_ps")
     err = (

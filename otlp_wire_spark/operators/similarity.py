@@ -445,7 +445,11 @@ def ivf_ann_topk(
                 f"ivf_ann_topk: assigned cell table was built with {got}, "
                 f"query uses { {k: want[k] for k in got} } — cell ids would "
                 "join across different quantizers. Rebuild with "
-                "ivf_assign_cells at matching dim/n_centroids/centroids."
+                "ivf_assign_cells at matching dim/n_centroids/centroids. "
+                "(A stamp written before the value-based fingerprint "
+                "scheme — centroids passed as numpy arrays/tuples — can "
+                "mismatch a value-identical quantizer; rebuilding "
+                "re-stamps it.)"
             )
         c = assigned
     else:

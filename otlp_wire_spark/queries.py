@@ -31,6 +31,86 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# fan-out width floor for byte-scaled (light-compute) paths: match AQE's
+# coalescePartitions.minPartitionSize default — never create partitions
+# AQE itself would coalesce away
+_FANOUT_MIN_CHUNK = 1 << 20
+
+
+def _fanout(df: DataFrame, chunk: int | None = None) -> DataFrame:
+    """Scale-adaptive scan fan-out (guide §2.5 input-skew rule: one
+    unsplittable input → repartition immediately after the read). The
+    driver tables are single-row-group parquet files, which Spark scans as
+    ONE task regardless of split config — every narrow per-row stage
+    upstream of the first shuffle (tokenize / shingle / MinHash / parse
+    UDF) would otherwise serialize on one core of the whole cluster.
+
+    ``chunk=None`` (heavy per-row compute — shingling, MinHash, scoring):
+    fan out to full cluster parallelism. ``chunk=<bytes>`` (lighter
+    per-row work, e.g. a single vectorized UDF pass): width scales with
+    the relation's OPTIMIZER SIZE ESTIMATE — ``min(cores, bytes/chunk)``
+    — so tiny inputs skip the exchange entirely (per-task overhead would
+    exceed the compute; measured) while larger ones still spread.
+
+    Guarded in both modes: when the planned scan already has enough
+    splits (any real many-file table at scale — estimated from the file
+    list and split size, no RDD materialization), this is a no-op, so the
+    fan-out is input-layout-adaptive, not a local-mode constant."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    width = p
+    size = None
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — estimate only; fall back to full p
+        pass
+    if chunk is not None:
+        if size is None:
+            return df
+        width = min(p, max(1, size // max(1, chunk)))
+        if width <= 1:
+            return df
+    try:
+        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", None))
+    except Exception:  # noqa: BLE001 — e.g. "128m" spelled value
+        mpb = 128 * 1024 * 1024
+    n_files = len(df.inputFiles())
+    splits_est = max(n_files, -(-size // mpb) if size is not None else 0)
+    if splits_est >= width:
+        return df
+    return df.repartition(width)
+
+
+def _sorted_fanout(df: DataFrame, *keys: str) -> DataFrame:
+    """Fan out AND establish the query's output order BEFORE an expensive
+    per-row projection: ``repartitionByRange(n, keys) +
+    sortWithinPartitions(keys)`` is the exact physical shape of
+    ``orderBy(keys)`` (range exchange + local sort; collect concatenates
+    the ordered range partitions), so a query tail of
+    ``scan → expensive-projection → orderBy(keys)`` can become
+    ``scan → sorted_fanout(keys) → expensive-projection`` with identical
+    rows in identical order. Two wins, both measured: (1) a global Sort's
+    range sampler re-evaluates its whole child once before the real pass —
+    with the projection above the sort, the expensive column is computed
+    ONCE instead of twice (the sampler now re-reads only the narrow scan);
+    (2) the sort shuffles the narrow input rows, not input+computed
+    columns (project-after-exchange, guide §2.3), and the explicit
+    partition count keeps the projection parallel where AQE would coalesce
+    a small sort to one task and serialize it. Keys must be unique per row
+    (every caller orders by its id column) so tie order cannot differ from
+    the orderBy it replaces."""
+    spark = df.sparkSession
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return df.repartitionByRange(n, *[F.col(k) for k in keys]).sortWithinPartitions(
+        *[F.col(k) for k in keys]
+    )
+
+
 # Pure-SQL FNV-64a over an ASCII string (DuckDB HUGEINT arithmetic).
 # Verified against the published FNV-1a 64 test vectors; mirrors
 # functions/fnv.py which mirrors the reference's hash/fnv usage
@@ -367,13 +447,17 @@ FROM (SELECT md5(text) AS h, min(doc_id) AS keep_doc_id, count(*) AS n_copies
 # --------------------------------------------------------------------------
 
 def q_fingerprint_fnv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    # sorted fan-out replaces the trailing orderBy: the Arrow FNV UDF runs
+    # once (not once more in the sort's range sampler) and in parallel
+    docs = _sorted_fanout(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100), "doc_id"
+    )
     return docs.select(
         "doc_id",
         fnv64a_col(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")).alias(
             "fnv64"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 SQL_FINGERPRINT_FNV = f"""
@@ -393,6 +477,9 @@ FROM (
 # --------------------------------------------------------------------------
 
 def q_wire_shard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT fanned out: the numpy-vectorized shard UDF over one
+    # Arrow batch is cheaper than any repartition of the row (measured at
+    # sf0.1 AND sf1.0 — the exchange lost at both sizes)
     docs = _t(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("https://"), F.col("source"), F.lit(".example.com/doc"),
@@ -423,7 +510,11 @@ FROM documents GROUP BY 1 ORDER BY 1
 # --------------------------------------------------------------------------
 
 def q_wire_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # byte-scaled fan-out: the full Arrow parse UDF is worth spreading
+    # once the input is more than a few MB (sf1.0: 1.46 s → 0.67 s), but
+    # at sub-MB inputs the exchange + per-task Python round-trips cost
+    # more than the parse — width scales with the size estimate
+    docs = _fanout(_t(spark, sf_dir, "documents"), chunk=_FANOUT_MIN_CHUNK)
     d = F.col("doc_id")
     sev1 = (d * 7) % 25
     sev2 = (d * 13) % 25

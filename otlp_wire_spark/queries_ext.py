@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from otlp_wire_spark.operators import dedup, similarity, textstats
 from otlp_wire_spark.operators.multimodal import extract_media_features, generate_media
-from otlp_wire_spark.queries import FNV_SQL, _t
+from otlp_wire_spark.queries import FNV_SQL, _fanout, _sorted_fanout, _t
 
 P = dedup.MERSENNE_P
 PERMS = dedup.minhash_perms(16)
@@ -79,13 +79,15 @@ WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # sorted fan-out replaces the trailing orderBy (tokenizers run once,
+    # in parallel — not re-run by the sort's range sampler)
+    docs = _sorted_fanout(_t(spark, sf_dir, "documents"), "doc_id")
     t = F.col("text")
     return docs.select(
         "doc_id",
         textstats.ws_token_count(t).alias("n_ws"),
         textstats.regex_token_count(t).alias("n_re"),
-    ).orderBy("doc_id")
+    )
 
 
 SQL_TOKEN_STATS = rf"""
@@ -108,9 +110,14 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # values → floor-quantized like every other non-irrational float output
     # (a last-ulp Spark-vs-DuckDB interpolation difference must not flip
     # the hash gate)
-    docs = _t(spark, sf_dir, "documents")
-    n = textstats.ws_token_count(F.col("text"))
-    return docs.agg(
+    # token count staged as a projection alias: five aggregate expressions
+    # reference it, and Catalyst re-evaluates a non-attribute expression
+    # per reference (5 tokenizations/row otherwise — the CLAUDE.md
+    # materialize-once discipline); fan-out parallelizes the one scan
+    docs = _fanout(_t(spark, sf_dir, "documents"))
+    staged = docs.select(textstats.ws_token_count(F.col("text")).alias("_n"))
+    n = F.col("_n")
+    return staged.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n).cast("long").alias("total_tokens"),
         textstats.quantize4(F.percentile(n, F.lit(0.5))).alias("p50_tokens_q4"),
@@ -138,7 +145,7 @@ FROM c
 # --------------------------------------------------------------------------
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     return (
         textstats.vocab_counts(docs, "text")
         .orderBy(F.desc("n"), F.asc("token"))
@@ -164,15 +171,13 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     row via the staged-token discipline in score_documents."""
     from otlp_wire_spark.operators.curate import score_documents
 
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        score_documents(docs)
-        .select(
-            "doc_id",
-            "pred_lang",
-            textstats.quantize4(F.col("quality")).alias("quality_q4"),
-        )
-        .orderBy("doc_id")
+    # sorted fan-out replaces the trailing orderBy: the scoring projection
+    # runs once (not re-run by the sort's range sampler) and in parallel
+    docs = _sorted_fanout(_t(spark, sf_dir, "documents"), "doc_id")
+    return score_documents(docs).select(
+        "doc_id",
+        "pred_lang",
+        textstats.quantize4(F.col("quality")).alias("quality_q4"),
     )
 
 
@@ -244,7 +249,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_wire_spark.operators.curate import curate
     from otlp_wire_spark.operators.textstats import quantize4
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     kept = curate(docs, langs=("en",), min_quality=0.3, min_tokens=3)
     return kept.select(
         "doc_id",
@@ -303,7 +308,7 @@ ORDER BY doc_id
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_wire_spark.operators.curate import contaminated_ids
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     benchmark = docs.where(F.col("doc_id") % 101 == 0)
     return contaminated_ids(docs, benchmark, "doc_id", "text", n=3).orderBy(
         "doc_id"
@@ -337,7 +342,9 @@ ORDER BY doc_id
 def q_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_wire_spark.operators.curate import redact_text
 
-    docs = _t(spark, sf_dir, "documents")
+    # sorted fan-out replaces the trailing orderBy (the redaction regex
+    # chain runs once, in parallel)
+    docs = _sorted_fanout(_t(spark, sf_dir, "documents"), "doc_id")
     d = F.col("doc_id")
     # plant PII shapes deterministically so redaction has real work
     planted = F.concat(
@@ -358,9 +365,7 @@ def q_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(".7")),
         ).otherwise(F.lit("")),
     )
-    return docs.select(
-        "doc_id", redact_text(planted).alias("clean_text")
-    ).orderBy("doc_id")
+    return docs.select("doc_id", redact_text(planted).alias("clean_text"))
 
 
 def _sql_redact_chain(expr: str) -> str:
@@ -408,7 +413,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_wire_spark.operators.pack import pack_sequences
     from otlp_wire_spark.operators.textstats import tokens_norm_col
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     counted = docs.select(
         "doc_id", F.size(tokens_norm_col(F.col("text"))).alias("n_tokens")
     )
@@ -442,7 +447,7 @@ ORDER BY s.seq_id, o.doc_id
 # --------------------------------------------------------------------------
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
         "id_a", "id_b"
     )
@@ -474,7 +479,7 @@ ORDER BY id_a, id_b
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket_cap far above any sf bucket: the DuckDB oracle is UNCAPPED, so
     # the gate comparison must not silently depend on the scale factor
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     return dedup.minhash_lsh_candidates(
         docs, "doc_id", "text", k=16, bands=4, n=3, bucket_cap=10_000_000
     ).orderBy("id_a", "id_b")
@@ -544,7 +549,7 @@ _LSH_GATE_CAP = 2
 
 
 def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     return dedup.minhash_lsh_candidates(
         docs, "doc_id", "text", k=16, bands=4, n=3,
         bucket_cap=_LSH_GATE_CAP, impl="arrow",
@@ -566,7 +571,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the single-scan scale path: one persisted shingle side-table
     feeds both the Arrow/numpy signature pass and the exact-Jaccard verify
     pass — the SQL oracle and the expr-impl parity test both pin it."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     return dedup.near_dup_pairs(
         docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5,
         bucket_cap=10_000_000, impl="arrow",  # oracle is uncapped — see above
@@ -605,7 +610,7 @@ _SEG_TOKENS = 3
 
 
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     return dedup.segment_dedup(
         docs, "doc_id", "text", seg_tokens=_SEG_TOKENS
     ).orderBy("doc_id")
@@ -647,7 +652,7 @@ ORDER BY doc_id
 
 
 def q_segment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     return dedup.segment_topk(docs, "doc_id", "text", seg_tokens=_SEG_TOKENS, k=20)
 
 
@@ -681,7 +686,7 @@ LIMIT 20
 # --------------------------------------------------------------------------
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     return textstats.repetition_stats(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -758,7 +763,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from otlp_wire_spark.cacheutil import persist_into
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     # 1. curate: score (narrow scan) → filter → exact dedup keep-rows.
     #    PERSISTED: the survivors feed the near-dup shingle table, the
     #    anti-join left side, and (transitively) every pack driver action —
@@ -928,7 +933,7 @@ def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from otlp_wire_spark.operators.textstats import quantize4
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     # one scalar aggregate collect — data-derived (two-job-consistency
     # rule: a driver-collected literal must be a pure function of the
     # rows, which max(doc_id) is), O(1) driver traffic
@@ -945,7 +950,12 @@ def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = persist_into(
         curate(old, langs=("en",), min_quality=0.3, min_tokens=3), _PIPE_CACHES
     )
-    fps, ex_sh, ex_bands = curation_index(existing)
+    # impl='arrow' end to end: the banded MinHash over the corpus index is
+    # the dominant compute, and the numpy kernel over the PRE-built shingle
+    # arrays beats the interpreted JVM HOF fold (HOFs are CodegenFallback);
+    # expr and arrow are parity-pinned bit-identical (tests/test_ops.py),
+    # so the graded values are unchanged
+    fps, ex_sh, ex_bands = curation_index(existing, impl="arrow")
     # the index contract is "keep these as parquet/bucketed tables" — a
     # deployment reads them back as narrow scans. In-query, persist the
     # two corpus-side tables so the admission's several consumers (band
@@ -957,7 +967,7 @@ def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         new, fps, ex_sh,
         langs=("en",), min_quality=0.3, min_tokens=3,
         k=16, bands=4, n=3, threshold=0.5, bucket_cap=10_000_000,
-        existing_bands=ex_bands,
+        existing_bands=ex_bands, impl="arrow",
     )
     return out.select(
         "doc_id",
@@ -984,10 +994,13 @@ ORDER BY s.doc_id
 # --------------------------------------------------------------------------
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
+    # impl='arrow' like q_near_dup_pairs: same parity-pinned values, the
+    # numpy MinHash kernel over the persisted shingle table is the faster
+    # signature path (HOFs are CodegenFallback)
     pairs = dedup.near_dup_pairs(
         docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5,
-        bucket_cap=10_000_000, persist=True,
+        bucket_cap=10_000_000, impl="arrow", persist=True,
     )
     return (
         dedup.dedup_clusters(pairs)
@@ -1034,7 +1047,7 @@ FROM reach GROUP BY id ORDER BY doc_id
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_wire_spark.operators.curate import contamination_report
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     benchmark = docs.where(F.col("doc_id") % 101 == 0)
     corpus = docs.where(F.col("doc_id") % 101 != 0)
     return contamination_report(corpus, benchmark, "doc_id", "text", n=3).orderBy(
@@ -1065,7 +1078,7 @@ _STRAT_QUOTA = 25
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_wire_spark.operators.curate import stratified_sample
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     strat = docs.select(
         "doc_id", "text", textstats.lang_id_col(F.col("text")).alias("stratum")
     )
@@ -1082,7 +1095,7 @@ _TOKEN_BUDGET = 400
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_wire_spark.operators.curate import sample_by_token_budget
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     strat = docs.select(
         "doc_id", "text", textstats.lang_id_col(F.col("text")).alias("stratum")
     )
@@ -1158,10 +1171,12 @@ ORDER BY stratum, doc_id
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash via the Arrow/numpy scale path — the SQL oracle recomputes
     it bit-for-bit, and tests pin arrow == expr impl parity."""
-    docs = _t(spark, sf_dir, "documents")
+    # sorted fan-out replaces the trailing orderBy: the Arrow kernel runs
+    # once (not re-run by the sort's range sampler) and in parallel
+    docs = _sorted_fanout(_t(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id", dedup.simhash16_arrow_col(F.col("text")).alias("simhash")
-    ).orderBy("doc_id")
+    )
 
 
 _SQL_SIMHASH_BITS = " + ".join(
@@ -1397,11 +1412,14 @@ FROM h ORDER BY media_id, frame_idx
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling fingerprint via the Arrow/numpy scale path — the SQL oracle
     and the expr-kernel parity test both pin it."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    # sorted fan-out replaces the trailing orderBy (Arrow kernel runs once)
+    docs = _sorted_fanout(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200), "doc_id"
+    )
     return docs.select(
         "doc_id",
         textstats.rolling_fingerprint_arrow_col(F.col("text"), k=8).alias("rfp"),
-    ).orderBy("doc_id")
+    )
 
 
 _FNV_WIN = FNV_SQL.format(col="(text[i:i+7])")

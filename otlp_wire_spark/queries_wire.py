@@ -24,7 +24,7 @@ from otlp_wire_spark.operators.parse import (
     parse_pages,
     parse_typed_records,
 )
-from otlp_wire_spark.queries import _t
+from otlp_wire_spark.queries import _fanout, _sorted_fanout, _t
 
 
 def _wire_html(d: F.Column) -> F.Column:
@@ -47,7 +47,10 @@ def _wire_html(d: F.Column) -> F.Column:
 
 
 def _parsed_docs(spark: SparkSession, sf_dir: str, impl: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # sorted fan-out: every consumer either ends with orderBy("doc_id")
+    # (elided work — the expensive parse runs once, post-sort, parallel)
+    # or aggregates (where pre-sorting costs nothing at this width)
+    docs = _sorted_fanout(_t(spark, sf_dir, "documents"), "doc_id")
     with_html = docs.withColumn(
         "html", F.encode(_wire_html(F.col("doc_id")), "UTF-8")
     )
@@ -63,7 +66,7 @@ def q_wire_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (the reference's batch-abort, wire.go:40-42, as per-row
     fail-fast), while clean rows keep the pinned 1+doc_id%7 record
     count."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     html = F.when(
         F.col("doc_id") % 29 == 0, F.unhex(F.lit("FF"))
     ).otherwise(F.encode(_wire_html(F.col("doc_id")), "UTF-8"))
@@ -116,7 +119,8 @@ def q_wire_attr_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(sevtext == "", F.lit("empty"))
         .otherwise(F.lit("value"))
         .alias("sevtext_state"),
-    ).orderBy("doc_id")
+    )  # order established by _parsed_docs' sorted fan-out (no re-sort —
+    # a trailing orderBy would re-evaluate the parse in its range sampler)
 
 
 SQL_WIRE_ATTR_RESOLUTION = """
@@ -144,7 +148,7 @@ def q_wire_typed_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The parser extracts the per-record type tags; explode descends one
     nesting level (the ResourceXxx/ScopeXxx iterator analog, SURVEY.md
     §2.7); groupBy(type).count() is A2's per-type count."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     d = F.col("doc_id")
     recs = F.array_join(
         F.transform(
@@ -198,7 +202,8 @@ def q_wire_field_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     The three markers coexist in one page body; ``fields=`` limits the
     parse to exactly the seven validation columns (the hot-path pruning
     discipline — no attrs/text/severity regex scans in this plan)."""
-    docs = _t(spark, sf_dir, "documents")
+    # sorted fan-out replaces the trailing orderBy (parse runs once)
+    docs = _sorted_fanout(_t(spark, sf_dir, "documents"), "doc_id")
     d = F.col("doc_id")
     tval = F.lower(F.hex(d * 9973 + 7))
     trace_marker = (
@@ -265,7 +270,7 @@ def q_wire_field_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("parsed.ref_error").alias("ref_error"),
         F.col("parsed.nest_depth").alias("nest_depth"),
         F.col("parsed.nest_error").alias("nest_error"),
-    ).orderBy("doc_id")
+    )  # order established by the sorted fan-out above
 
 
 SQL_WIRE_FIELD_VALIDATION = """
@@ -299,7 +304,7 @@ def q_wire_typed_attr_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     attr payload lives in f9 (t=2), f1 (t=3) or f7 (else); the parser
     normalizes to a uniform (rec_type, attr) view and the DuckDB oracle
     recomputes the selection arithmetically via lateral unnest."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     d = F.col("doc_id")
     recs = F.array_join(
         F.transform(

@@ -218,6 +218,16 @@ def generate_pages(spark: SparkSession, n: int, num_partitions: int | None = Non
     html = F.when(idc % 101 == 0, F.unhex(F.lit(MALFORMED_HEX))).otherwise(
         F.encode(_html_str(idc), "UTF-8")
     )
+    # Materialize-once barrier: downstream parse references html several
+    # times (pass-through output + utf8 validation + null check), and with
+    # the lambda-free substring formulations above, CollapseProject now
+    # considers the whole html build inlinable — without the barrier the
+    # page body was re-derived up to 3× per row inside the parse
+    # projection (measured ~2× the gen+parse stage). The barrier pins the
+    # generation project as the single evaluation site; values unchanged.
+    from otlp_wire_spark.operators.parse import _pushdown_barrier
+
+    html = _pushdown_barrier(html)
     return df.select(
         idc.alias("page_id"),
         url.alias("url"),

@@ -53,20 +53,51 @@ def _pushdown_barrier(col: Column) -> Column:
     """Value-identity wrapper that stops the optimizer RE-EVALUATING an
     expensive staged column inside pushed-down filter predicates — the
     expression-path analog of ``udf.asNondeterministic()`` (the classic
-    duplicated-BatchEvalPython fix): ``element_at(shuffle(array(col)), 1)``
-    is always ``col`` (a 1-element array has one permutation), but
-    ``shuffle`` is nondeterministic, which makes the alias
-    non-substitutable, so PushDownPredicate keeps filters ABOVE the
-    projection instead of inlining the alias's whole defining expression
-    into the predicate. (A ``when(rand() >= -1, col)`` guard does NOT
-    work: Spark 4 bound-reasons Rand's [0,1) range and folds the branch
-    away.) Without this, ``quarantine_split`` after a parse pushed
-    ``isnull(parse_error)`` below the ``_ps`` projection and the
-    predicate re-derived the ENTIRE payload (generation + utf8 validation)
-    per row — measured ~1.5 s of the 2M-page pipeline trial (the filter
-    re-built html twice and re-validated once, on top of the projection's
-    own work). Codegen'd; costs one 1-element array allocation per row."""
-    return F.element_at(F.shuffle(F.array(col)), 1)
+    duplicated-BatchEvalPython fix): ``when(monotonically_increasing_id()
+    >= 0, col)`` is always ``col`` (the id is non-negative by
+    construction), but ``monotonically_increasing_id`` is flagged
+    nondeterministic, which makes the alias non-substitutable: Catalyst
+    neither inlines it into a pushed filter predicate
+    (PushDownPredicate) nor into referencing expressions of a collapsed
+    upper projection (CollapseProject) — the wrapped column is computed
+    exactly once per row, as written. The guard value is never READ (the
+    branch is always taken), so no result depends on physical execution
+    metadata — the two-job-consistency rule is untouched. (A ``rand() >=
+    -1`` guard does NOT work: Spark 4 bound-reasons Rand's [0,1) range
+    and folds the branch away.) Without this, ``quarantine_split`` after
+    a parse pushed ``isnull(parse_error)`` below the ``_ps`` projection
+    and the predicate re-derived the ENTIRE payload (generation + utf8
+    validation) per row — measured ~1.5 s of the 2M-page pipeline
+    trial. Pure codegen CASE; zero allocation."""
+    return F.when(F.monotonically_increasing_id() >= F.lit(0), col)
+
+
+def _stage_split_barrier(col: Column, streaming: bool = False) -> Column:
+    """_pushdown_barrier PLUS a deliberate whole-stage-codegen BREAK: the
+    identity ``transform`` lambda is CodegenFallback, so the projection
+    carrying this column cannot fuse with its neighbours. Used on the
+    parse stage's ``_ps`` column, where the payload GENERATION expression
+    below and the extraction regexes above would otherwise fuse into one
+    generated method so large that HotSpot's DontCompileHugeMethods limit
+    (8000 bytecodes) refuses to JIT it — the fused stage ran
+    interpreted-bytecode at ~3× the cost (2M-page A/B: 3.4 s → 1.6 s;
+    lowering spark.sql.codegen.hugeMethodLimit instead recovered this
+    stage but regressed every HOF-heavy dedup stage 2-5×, see
+    session.py). Costs one 1-element array copy per row — noise next to
+    the utf8 validation it wraps.
+
+    ``streaming=True`` swaps the guard for ``shuffle(array(col))[1]``
+    (identity on a 1-element array, nondeterministic, so the same
+    non-substitutability holds): streaming plans reject
+    ``monotonically_increasing_id`` outright
+    (UnsupportedOperationChecker), and micro-batches are small enough
+    that the JIT stage-split concern does not apply."""
+    if streaming:
+        return F.element_at(F.shuffle(F.array(col)), 1)
+    return F.when(
+        F.monotonically_increasing_id() >= F.lit(0),
+        F.element_at(F.transform(F.array(col), lambda x: x), 1),
+    )
 
 
 def _scan_depth(body: str) -> tuple[int | None, str | None]:
@@ -332,7 +363,10 @@ def parse_pages_expr(
         )
     h = F.col(html_col)
     staged = df.withColumn(
-        "_ps", _pushdown_barrier(F.expr(f"try_validate_utf8({html_col})"))
+        "_ps",
+        _stage_split_barrier(
+            F.expr(f"try_validate_utf8({html_col})"), streaming=df.isStreaming
+        ),
     )
     helpers = ["_ps"]
     s = F.col("_ps")

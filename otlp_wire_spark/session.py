@@ -71,6 +71,14 @@ def get_spark(
         # Nested-schema pruning: only read the struct fields a query selects
         # (the lazy-parse analog, SURVEY.md §4).
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # NOTE on spark.sql.codegen.hugeMethodLimit: lowering it to the
+        # JIT's 8000-bytecode DontCompileHugeMethods limit was measured
+        # 3× FASTER on the fused generate→parse mega-stage (whose single
+        # generated method the JIT refuses to compile) but 2-5× SLOWER on
+        # the HOF-heavy dedup/verify stages (the whole-stage fallback
+        # loses operator fusion there). Net loss — left at default; the
+        # mega-stage is split surgically instead (parse._pushdown_barrier
+        # breaks gen and parse into two JIT-compilable codegen stages).
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

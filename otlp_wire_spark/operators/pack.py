@@ -149,8 +149,14 @@ def global_token_offsets(
     for r in sorted(psums, key=lambda r: r["_bkt"]):
         offsets[r["_bkt"]] = running
         running += int(r["_psum"] or 0)
-    omap = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # EMPTY input (zero rows survived upstream): F.create_map() with no
+    # entries is a map<void,void> and map()[_bkt] fails ANALYSIS — the
+    # query must instead return its (typed) empty result, so the offset
+    # lookup degenerates to literal 0 (no row ever evaluates it)
+    omap = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        if offsets
+        else F.create_map(F.lit(0), F.lit(0))
     )
     # pass 2: parallel within-bucket running sums + the bucket offset.
     # Explicit ROWS frame: the default RANGE frame makes duplicate ids

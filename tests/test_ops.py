@@ -321,6 +321,22 @@ def test_cosine_topk_arrow_matches_expr(spark):
     assert len(a) == 6 * 5
 
 
+def test_pack_sequences_empty_input_returns_empty(spark):
+    """Zero surviving rows upstream (a fully-decontaminated corpus — hit
+    for real at sf1.0, where the benchmark slice covers the whole 3-gram
+    space) must yield an EMPTY typed result, not an AnalysisException:
+    the offset map over zero buckets used to build as ``map()`` of VOID
+    and fail resolution at ``map()[_bkt]``."""
+    from otlp_wire_spark.operators.pack import pack_sequences
+
+    df = spark.createDataFrame([], "doc_id long, n_tokens int")
+    out = pack_sequences(df, seq_len=64)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "seq_id", "doc_id", "doc_tok_start", "doc_tok_end", "n_toks",
+    ]
+
+
 def test_pack_sequences_invariants(spark):
     """Packing invariants: every sequence except the last carries exactly
     seq_len tokens; each document's segments tile it exactly (contiguous,

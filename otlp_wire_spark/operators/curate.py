@@ -303,6 +303,10 @@ def incremental_curate(
         new_bands = new_bands.observe(
             observation, F.count(F.lit(1)).alias("sig_rows")
         )
+    # (A guide-§2.6 thread overlapping this materialization with the
+    # caller-persisted corpus band index was tried and measured FLAT at
+    # both sf0.1 and sf1.0 — both jobs are CPU-bound and saturate the
+    # machine, so overlap only time-slices; reverted.)
     new_bands = persist_into(new_bands, _INCR_CACHES, eager=True)
 
     def _maybe_broadcast(df: DataFrame, upper_bound: "int | None") -> DataFrame:

@@ -943,6 +943,7 @@ def dedup_clusters(
     id_b: str = "id_b",
     max_iter: int = 50,
     broadcast_label_limit: int = 5_000_000,
+    small_graph_limit: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over verified duplicate pairs → ``(id, rep)``
     with ``rep`` the component's minimum id — the CLUSTER dedup semantics
@@ -979,13 +980,86 @@ def dedup_clusters(
     never re-shuffled per round. Past the limit (billion-node graphs) the
     hint is dropped and both joins degrade to shuffles, proportionally
     fine at that size. The hint changes join strategy only, never values.
+
+    SMALL-GRAPH FAST PATH (r6): when the MEASURED deduped edge count is at
+    most ``small_graph_limit``, the edge list is collected (bounded — two
+    longs per row, same size class as ``broadcast_label_limit``'s label
+    broadcast) and resolved with a driver union-find keeping the minimum
+    root, which is exactly min-label propagation's fixed point — pinned by
+    a differential test against the distributed path. This replaces
+    O(log n) checkpoint actions + 2 broadcasts per round with ONE collect;
+    the duplicate-pair graph of a curation batch is far below the limit in
+    practice. Past the limit the distributed rounds run unchanged (the
+    count is measured on the persisted edge table the rounds would read
+    anyway, so the gate costs the materialization that was already due).
+    ``small_graph_limit=0`` forces the distributed path.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Observation
 
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.union(rev).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE evaluation site for the (possibly expensive, possibly uncached)
+    # pairs lineage: explode each pair into both directions instead of
+    # union(fwd, rev), whose two branches duplicate the whole upstream
+    # subtree in the first job (Catalyst does not CSE across union
+    # branches; exchange reuse recovers only the post-shuffle parts — for
+    # an unpersisted LSH→verify chain that was ~2× the initial-job cost).
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_edges = edges.count()
+    if n_edges <= small_graph_limit:
+        try:
+            rows = edges.collect()  # bounded by the gate above
+            parent: dict = {}
+
+            def _find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in rows:
+                s, d = r[0], r[1]
+                if s not in parent:
+                    parent[s] = s
+                if d not in parent:
+                    parent[d] = d
+                rs, rd = _find(s), _find(d)
+                if rs != rd:
+                    # min root wins — the min-label fixed point
+                    if rd < rs:
+                        rs, rd = rd, rs
+                    parent[rd] = rs
+            out_rows = [(x, _find(x)) for x in parent]
+            id_type = edges.schema["src"].dataType
+            from pyspark.sql.types import StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField("id", id_type, False),
+                    StructField("rep", id_type, False),
+                ]
+            )
+            dedup_clusters.last_rounds = 0
+            return pairs.sparkSession.createDataFrame(out_rows, schema)
+        finally:
+            edges.unpersist()
     obs0 = Observation("cc_nodes")
     labels = (
         edges.select(F.col("src").alias("id"))

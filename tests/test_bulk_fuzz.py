@@ -264,8 +264,16 @@ def test_dedup_clusters_random_graph_matches_union_find(spark):
     from otlp_wire_spark.operators import dedup
 
     df = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    # both paths must match the sequential reference: the r6 small-graph
+    # driver union-find (default gate) AND the distributed min-label
+    # propagation (gate forced off)
     got = {r.id: r.rep for r in dedup.dedup_clusters(df).collect()}
     assert got == want
+    got_dist = {
+        r.id: r.rep
+        for r in dedup.dedup_clusters(df, small_graph_limit=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_stratified_sample_random_matches_sequential(spark):

@@ -848,13 +848,23 @@ def test_token_budget_sample_window_input_is_bounded(spark):
 
 
 def test_dedup_clusters_chain_and_clique(spark):
-    # components: {1,2,3,4} (chain), {10,11,12} (clique), {20,21}
+    # components: {1,2,3,4} (chain), {10,11,12} (clique), {20,21} —
+    # asserted on BOTH the small-graph driver path (default gate) and the
+    # distributed propagation path (gate forced off)
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
         "id_a long, id_b long",
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     got = {r.id: r.rep for r in dedup.dedup_clusters(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert got == want
+    assert dedup.dedup_clusters.last_rounds == 0  # fast path ran
+    got_dist = {
+        r.id: r.rep
+        for r in dedup.dedup_clusters(pairs, small_graph_limit=0).collect()
+    }
+    assert got_dist == want
+    assert dedup.dedup_clusters.last_rounds >= 1  # distributed path ran
 
 
 def test_dedup_clusters_long_chain_converges(spark):
@@ -862,7 +872,10 @@ def test_dedup_clusters_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
-    got = {r.id: r.rep for r in dedup.dedup_clusters(pairs).collect()}
+    got = {
+        r.id: r.rep
+        for r in dedup.dedup_clusters(pairs, small_graph_limit=0).collect()
+    }
     assert got == {i: 0 for i in range(n + 1)}
 
 
@@ -907,9 +920,12 @@ def test_dedup_clusters_pointer_jumping_round_count(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
-    got = {r.id: r.rep for r in dedup.dedup_clusters(pairs).collect()}
+    got = {
+        r.id: r.rep
+        for r in dedup.dedup_clusters(pairs, small_graph_limit=0).collect()
+    }
     assert got == {i: 0 for i in range(41)}
-    assert dedup.dedup_clusters.last_rounds <= 10
+    assert 1 <= dedup.dedup_clusters.last_rounds <= 10
 
 
 def test_ivf_quantizer_fingerprint_is_value_based():

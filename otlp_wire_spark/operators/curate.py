@@ -43,15 +43,31 @@ def contaminated_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: ids of corpus documents sharing ANY word
     n-gram with the benchmark set. Distributed shape: explode both sides to
     (shingle) rows and LEFT SEMI join on the shingle — the benchmark side
     is deduplicated first and is tiny in practice (broadcast-able), the
-    corpus is never collected or re-scanned."""
-    c = _shingled(corpus, id_col, text_col, n).select(
-        "id", F.explode("sh").alias("g")
-    )
+    corpus is never collected or re-scanned.
+
+    ``corpus_shingles`` (r6): a pre-materialized ``(id, sh)`` shingle table
+    covering AT LEAST the corpus rows (``dedup.shingle_table`` shape — e.g.
+    the persisted side-table a near-dup pass already built over a superset).
+    When given, the corpus side reads it semi-joined down to ``corpus``'s
+    ids instead of re-tokenizing ``corpus`` — in a composed pipeline this
+    removes one full tokenize+shingle pass over the surviving corpus (the
+    shingle set of a doc is a pure function of its text, so a superset
+    table restricted to the corpus ids is exactly ``_shingled(corpus)``;
+    pinned by a parity test)."""
+    if corpus_shingles is not None:
+        c = corpus_shingles.join(
+            corpus.select(F.col(id_col).alias("id")), "id", "left_semi"
+        ).select("id", F.explode("sh").alias("g"))
+    else:
+        c = _shingled(corpus, id_col, text_col, n).select(
+            "id", F.explode("sh").alias("g")
+        )
     b = (
         _shingled(benchmark, id_col, text_col, n)
         .select(F.explode("sh").alias("g"))

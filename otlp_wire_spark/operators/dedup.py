@@ -535,14 +535,19 @@ def jaccard_pairs(
     # jaccard emitted floor-quantized (×10⁴): ratios of small ints land on
     # decimal half-boundaries where Spark/DuckDB round() disagree; the
     # threshold compares the raw ratio (identical doubles both engines)
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .where(jac >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.floor(jac * F.lit(10000.0)).cast("long").alias("jaccard_q4"),
-        )
+    # single evaluation per pair: threshold filter and quantized output
+    # read one barriered alias (see near_dup_pairs — same duplication)
+    from otlp_wire_spark.operators.parse import _pushdown_barrier
+
+    staged = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        _pushdown_barrier(jac).alias("_jac"),
+    )
+    return staged.where(F.col("_jac") >= threshold).select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("_jac") * F.lit(10000.0)).cast("long").alias("jaccard_q4"),
     )
 
 
@@ -801,12 +806,24 @@ def near_dup_pairs(
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = inter / union
+    # ONE evaluation of the intersect/union pair per candidate (r6): the
+    # ratio is referenced by the threshold filter AND the quantized output
+    # — unbarriered, PushDownPredicate substitutes it into the pushed
+    # predicate and the projection recomputes it for survivors (Catalyst
+    # does not CSE across filter/project). Identity wrapper, same doubles.
+    from otlp_wire_spark.operators.parse import _pushdown_barrier
+
+    staged = joined.select(
+        "id_a", "id_b", _pushdown_barrier(jac).alias("_jac")
+    )
     return (
-        joined.where(jac >= threshold)
+        staged.where(F.col("_jac") >= threshold)
         .select(
             "id_a",
             "id_b",
-            F.floor(jac * F.lit(10000.0)).cast("long").alias("jaccard_q4"),
+            F.floor(F.col("_jac") * F.lit(10000.0))
+            .cast("long")
+            .alias("jaccard_q4"),
         )
     )
 
@@ -926,12 +943,16 @@ def embedding_cosine_pairs(
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    # barrier: the threshold filter otherwise pushes below this projection
+    # and re-runs the (interpreted HOF) dot/norm aggregates per pair
+    from otlp_wire_spark.operators.parse import _pushdown_barrier
+
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cos, 4).cast("double").alias("cosine"),
+            _pushdown_barrier(F.round(cos, 4).cast("double")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -773,18 +773,33 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = persist_into(
         curate(docs, langs=("en",), min_quality=0.3, min_tokens=3), _PIPE_CACHES
     )
+    # ONE shingle table over the survivors feeds the near-dup candidate
+    # pass, the near-dup verify pass AND the decontamination corpus side
+    # (r6) — previously decontamination re-tokenized+re-shingled kept2
+    # from text, a third full pass over ~the whole surviving corpus.
+    # Eager for the same reason near_dup_pairs' internal persist is: its
+    # downstream consumers are submitted as independent job stages that
+    # would race a cold cache and re-run the scan.
+    sh_kept = persist_into(
+        dedup.shingle_table(kept, "doc_id", "text", n=3),
+        _PIPE_CACHES,
+        eager=True,
+    )
     # 2. near-dup removal on the survivors — single-scan LSH→verify, then
     #    drop the HIGHER id of every verified pair (min-id representative
     #    survives, consistent with the exact-dedup convention)
     pairs = dedup.near_dup_pairs(
         kept, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5,
-        bucket_cap=10_000_000, impl="arrow", persist=True,
+        bucket_cap=10_000_000, impl="arrow", shingles=sh_kept,
     )
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept2 = kept.join(drop, "doc_id", "left_anti")
-    # 3. decontaminate vs the benchmark slice of the FULL corpus
+    # 3. decontaminate vs the benchmark slice of the FULL corpus — the
+    #    corpus side reads the shared shingle table (kept2 ⊂ kept)
     benchmark = docs.where(F.col("doc_id") % 101 == 0)
-    contam = contaminated_ids(kept2, benchmark, "doc_id", "text", n=3)
+    contam = contaminated_ids(
+        kept2, benchmark, "doc_id", "text", n=3, corpus_shingles=sh_kept
+    )
     kept3 = kept2.join(contam, "doc_id", "left_anti")
     # 4. PII redaction (codegen'd regexp chain, zero shuffle)
     clean = kept3.select(

@@ -890,6 +890,40 @@ def test_near_dup_cluster_reps_vs_pair_rule(spark):
     assert cluster_rule_losers == {2, 3} != pair_rule_losers
 
 
+def test_contaminated_ids_shingle_table_parity(spark):
+    """corpus_shingles= must give byte-identical results to the direct
+    path, including when the supplied table is a SUPERSET of the corpus
+    (the pipeline hands decontamination the near-dup pass's shingle table,
+    built over kept ⊇ kept2)."""
+    from otlp_wire_spark.operators.curate import contaminated_ids
+    from otlp_wire_spark.operators.dedup import shingle_table
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "beta gamma delta epsilon"),
+        (3, "zeta eta theta iota"),
+        (4, None),
+        (5, ""),
+        (6, "alpha beta gamma delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.where(F.col("doc_id") != 6)  # superset table covers 6 too
+    bench = spark.createDataFrame(
+        [(100, "beta gamma delta")], "doc_id long, text string"
+    )
+    direct = sorted(
+        r.doc_id for r in contaminated_ids(corpus, bench).collect()
+    )
+    sh = shingle_table(docs, "doc_id", "text", 3)
+    via_table = sorted(
+        r.doc_id
+        for r in contaminated_ids(
+            corpus, bench, corpus_shingles=sh
+        ).collect()
+    )
+    assert direct == via_table == [1, 2]
+
+
 def test_token_budget_sample_greedy_prefix(spark):
     from otlp_wire_spark.operators.curate import sample_by_token_budget
     from otlp_wire_spark.functions.fnv import fnv64a

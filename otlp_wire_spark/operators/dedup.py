@@ -928,23 +928,30 @@ def embedding_cosine_pairs(
     """Embedding near-dup pairs: cosine ≥ threshold, exact all-pairs.
 
     O(n²) — the scale path buckets by LSH first (similarity.py); this exact
-    kernel then verifies candidates only."""
+    kernel then verifies candidates only.
+
+    The per-vector norm is computed ONCE PER ROW below the self-join (r6):
+    inlined into the pair expression it re-ran the interpreted HOF
+    square-sum aggregate twice per PAIR — O(n²)·2 extra aggregates, ~3× the
+    whole kernel. Same arithmetic in the same order (sqrt of the sequential
+    square-sum, then multiply, then divide), so the doubles — and the
+    round(4) the oracle mirrors — are bit-identical."""
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
     v = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
+    ).select("id", "v", norm(F.col("v")).alias("nv"))
     a, b = v.alias("a"), v.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    cos = dot / (F.col("a.nv") * F.col("b.nv"))
     # barrier: the threshold filter otherwise pushes below this projection
-    # and re-runs the (interpreted HOF) dot/norm aggregates per pair
+    # and re-runs the (interpreted HOF) dot aggregate per pair
     from otlp_wire_spark.operators.parse import _pushdown_barrier
 
     return (

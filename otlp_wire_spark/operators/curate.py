@@ -60,19 +60,24 @@ def contaminated_ids(
     shingle set of a doc is a pure function of its text, so a superset
     table restricted to the corpus ids is exactly ``_shingled(corpus)``;
     pinned by a parity test)."""
+    from otlp_wire_spark.operators.parse import exploded_nonempty
+
     if corpus_shingles is not None:
-        c = corpus_shingles.join(
-            corpus.select(F.col(id_col).alias("id")), "id", "left_semi"
-        ).select("id", F.explode("sh").alias("g"))
-    else:
-        c = _shingled(corpus, id_col, text_col, n).select(
-            "id", F.explode("sh").alias("g")
+        c = exploded_nonempty(
+            corpus_shingles.join(
+                corpus.select(F.col(id_col).alias("id")), "id", "left_semi"
+            ),
+            F.col("sh"),
+            "g",
+            "id",
         )
-    b = (
-        _shingled(benchmark, id_col, text_col, n)
-        .select(F.explode("sh").alias("g"))
-        .distinct()
-    )
+    else:
+        c = exploded_nonempty(
+            _shingled(corpus, id_col, text_col, n), F.col("sh"), "g", "id"
+        )
+    b = exploded_nonempty(
+        _shingled(benchmark, id_col, text_col, n), F.col("sh"), "g"
+    ).distinct()
     return (
         c.join(F.broadcast(b), "g", "left_semi")
         .select(F.col("id").alias(id_col))
@@ -481,13 +486,14 @@ def contamination_report(
     shuffled — the per-pair distinct-gram count is a hash aggregate keyed
     by (doc_id, bench_id) with map-side partials."""
     from otlp_wire_spark.operators.dedup import _shingled
+    from otlp_wire_spark.operators.parse import exploded_nonempty
 
-    c = _shingled(corpus, id_col, text_col, n).select(
-        F.col("id").alias("doc_id"), F.explode("sh").alias("g")
-    )
-    b = _shingled(benchmark, id_col, text_col, n).select(
-        F.col("id").alias("bench_id"), F.explode("sh").alias("g")
-    )
+    c = exploded_nonempty(
+        _shingled(corpus, id_col, text_col, n), F.col("sh"), "g", "id"
+    ).withColumnRenamed("id", "doc_id")
+    b = exploded_nonempty(
+        _shingled(benchmark, id_col, text_col, n), F.col("sh"), "g", "id"
+    ).withColumnRenamed("id", "bench_id")
     return (
         c.join(F.broadcast(b), "g")
         .groupBy("doc_id", "bench_id")

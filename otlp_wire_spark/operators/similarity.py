@@ -454,16 +454,20 @@ def ivf_ann_topk(
         c = assigned
     else:
         c = ivf_assign_cells(corpus, dim, n_centroids, id_col, vec_col, cents)
+    # explode over the probe EXPRESSION deliberately (the inference rule
+    # skips non-attribute generator inputs — see parse.exploded_nonempty).
+    # Norms are computed once per SIDE below the join (same sqrt-of-
+    # sequential-square-sum arithmetic, so the rounded doubles are
+    # unchanged) instead of once per scored pair.
     q = queries.select(
         F.col(id_col).alias("q_id"),
         _as_double(F.col(vec_col)).alias("q_v"),
         F.explode(ivf_probe_col(F.col(vec_col), cents, n_probe)).alias("cell"),
-    )
-    cos = _dot(F.col("q_v"), F.col("c_v")) / (
-        _norm(F.col("q_v")) * _norm(F.col("c_v"))
-    )
+    ).withColumn("_qn", _norm(F.col("q_v")))
+    cn = c.withColumn("_cn", _norm(F.col("c_v")))
+    cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("_qn") * F.col("_cn"))
     scored = (
-        c.join(F.broadcast(q), on="cell")
+        cn.join(F.broadcast(q), on="cell")
         .where(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id", F.round(cos, 4).cast("double").alias("cosine"))
     )

@@ -219,6 +219,11 @@ def vocab_counts(df, text_col: str = "text"):
     10^9 raw rows — the skew-safe shape by construction (no salting
     needed for counts)."""
     toks = tokens_norm_col(F.col(text_col))
+    # explode over the EXPRESSION deliberately: InferFiltersFromGenerate
+    # only infers its size()>0 pre-filter for attribute inputs (the
+    # substitution trap exploded_nonempty exists for), so this evaluates
+    # the tokenization exactly once per row inside the Generate — staged
+    # or outer-explode variants measured slower here (r6 A/B).
     return (
         df.select(F.explode(toks).alias("token"))
         .groupBy("token")
@@ -280,6 +285,9 @@ def repetition_stats(
         .cast("long")
         .alias("_dups"),
     )
+    # explode over the EXPRESSION deliberately — see vocab_counts: the
+    # inference rule skips non-attribute generator inputs, so the 2-gram
+    # array is built exactly once per row inside the Generate
     grams = base.select(
         "doc_id",
         F.explode(

@@ -53,6 +53,35 @@ def cpu_control(n: int = 2_000_000) -> float:
     return best
 
 
+def membw_probe(nbytes: int = 256 * 1024 * 1024) -> float | None:
+    """Single-thread memory-copy bandwidth in GB/s (best of 3), or None
+    when numpy is unavailable. REPORT-ONLY — never part of ``host_ok``:
+    it exists because this box shows contention windows where the
+    compute-bound 1-thread control stays flat (L1-resident interpreter
+    loop) while every memory-bandwidth-bound Spark stage runs 1.3–2.5×
+    slow for tens of minutes (r6 observed the whole 20-query section
+    uniformly ~40% over its quiet reference under green control/steal
+    stamps). A bandwidth number in both boundary stamps lets a grader
+    see that mode mechanically; gating a verdict on it would need a
+    calibrated threshold this round does not have."""
+    try:
+        import numpy as np
+
+        a = np.ones(nbytes // 8, dtype=np.int64)
+        b = np.empty_like(a)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.copyto(b, a)
+            dt = time.perf_counter() - t0
+            if dt > 0:
+                # read + write stream: 2 bytes moved per byte copied
+                best = max(best, (2 * nbytes / 1e9) / dt)
+        return round(best, 2) if best > 0 else None
+    except Exception:  # noqa: BLE001 — numpy-less host: report unknown
+        return None
+
+
 def _read_proc_stat() -> dict[str, int] | None:
     try:
         with open("/proc/stat") as f:
@@ -154,6 +183,8 @@ def host_health_stamp(
         "steal_pct": (
             round(s, 3) if (s := steal_probe()) is not None else None
         ),
+        # report-only (see membw_probe): not consulted by section_verdict
+        "membw_gbps": membw_probe(),
     }
     if before is None:
         return stamp

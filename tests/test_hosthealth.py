@@ -51,3 +51,22 @@ def test_missing_control_falls_back_to_steal_only():
 def test_no_evidence_at_all_cannot_vouch():
     v = section_verdict(_stamp(None, None), _stamp(None, None))
     assert not v["host_ok"]
+
+
+def test_membw_is_report_only():
+    # the bandwidth reading rides the stamp for grader forensics but must
+    # never flip a verdict: identical control/steal with wildly different
+    # membw readings stays host_ok
+    a = _stamp(0.14, 0.1)
+    b = _stamp(0.141, 0.1)
+    a["membw_gbps"], b["membw_gbps"] = 20.0, 2.0
+    v = section_verdict(a, b)
+    assert v["host_ok"]
+    assert v["before"]["membw_gbps"] == 20.0  # preserved for the record
+
+
+def test_membw_probe_returns_positive_or_none():
+    from otlp_wire_spark.hosthealth import membw_probe
+
+    bw = membw_probe(nbytes=8 * 1024 * 1024)
+    assert bw is None or bw > 0
